@@ -1,0 +1,132 @@
+"""Stripe-extremum tracking for dynamic frames.
+
+Reference behavior (DynaFrame/CCalculation.cpp:789-891), per frame:
+
+1. ``valSum(h, w)``: vertical 21-row box sum of the raw camera image per
+   column, computed only on the interior region rows/cols
+   [r, H-r) x [r, W-r) with r = window//2; zero elsewhere
+   (CCalculation.cpp:797-823, rolling-DP in the reference).
+2. Per interior pixel, scan horizontal offsets i in [-r, r) (note: +r is
+   EXCLUDED) over valSum(h, w+i), tracking a running max and min that are
+   initialized with the center value and updated on strict inequality
+   (CCalculation.cpp:828-850). The resulting offsets are stripW (bright
+   stripe) and stripB (dark stripe), zero on the border.
+
+Tie-breaking is therefore: the center (offset 0) wins any tie; otherwise
+the smallest offset in scan order attaining the extremum wins. The XLA
+version below replicates this exactly with a static unrolled offset scan
+(2r fused select ops); the Pallas fused version lives in
+``slc_tpu.pallas.stripe_tracker``.
+
+Known reference edge behavior, reproduced faithfully: near the left/right
+interior boundary the scan window reads zero border values of valSum, so
+the dark-stripe offset can lock onto the zero border (valSum >= 0).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def box_sum_vertical(frame: jax.Array, window: int) -> jax.Array:
+    """Vertical ``window``-row box sum, interior-only, border zeroed.
+
+    Equivalent to the reference's rolling DP (CCalculation.cpp:797-823)
+    but via an exclusive cumulative sum: box(h) = S(h+r+1) - S(h-r) where
+    S is the 0-prepended row cumsum. Sums of uint8 values are exactly
+    representable in float32, so this is bit-identical to the DP.
+    """
+    r = window // 2
+    h, w = frame.shape
+    f = frame.astype(jnp.float32)
+    s = jnp.concatenate(
+        [jnp.zeros((1, w), jnp.float32), jnp.cumsum(f, axis=0)], axis=0)
+    box = s[window:, :] - s[:-window, :]           # rows r .. H-r-1
+    out = jnp.zeros((h, w), jnp.float32)
+    out = out.at[r:h - r, :].set(box)
+    # Column interior mask (CCalculation.cpp:801,817).
+    col = jnp.arange(w)
+    col_mask = (col >= r) & (col < w - r)
+    return jnp.where(col_mask[None, :], out, 0.0)
+
+
+def windowed_extrema(val_sum: jax.Array, window: int,
+                     subpixel: bool = False
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Per-pixel offsets of the max/min of val_sum over horizontal offsets
+    [-r, r), reference scan semantics (CCalculation.cpp:828-891).
+
+    ``subpixel`` (framework improvement over the reference's integer
+    offsets): refine each extremum by a parabolic fit through its two
+    horizontal neighbors, offset += (v[-1]-v[+1]) / (2*(v[-1]-2v0+v[+1])),
+    clamped to +-0.5. Integer offsets quantize each frame's stripe motion
+    to whole camera pixels, which is the dominant drift source of the
+    deltaP integration at sub-pixel per-frame motion.
+
+    Returns (strip_w, strip_b): float32 offset maps (bright, dark), zero
+    outside the interior.
+    """
+    r = window // 2
+    h, w = val_sum.shape
+
+    best_max = val_sum
+    best_max_idx = jnp.zeros_like(val_sum)
+    best_min = val_sum
+    best_min_idx = jnp.zeros_like(val_sum)
+    for i in range(-r, r):
+        # valSum(h, w+i); interior pixels never index out of range, the
+        # roll wrap only touches border pixels that are masked below.
+        v = jnp.roll(val_sum, -i, axis=1)
+        upd_max = v > best_max
+        best_max = jnp.where(upd_max, v, best_max)
+        best_max_idx = jnp.where(upd_max, jnp.float32(i), best_max_idx)
+        upd_min = v < best_min
+        best_min = jnp.where(upd_min, v, best_min)
+        best_min_idx = jnp.where(upd_min, jnp.float32(i), best_min_idx)
+
+    if subpixel:
+        def refine(idx):
+            cols = jnp.arange(w, dtype=jnp.float32)[None, :]
+            pos = jnp.clip(cols + idx, 1, w - 2).astype(jnp.int32)
+            vm = jnp.take_along_axis(val_sum, pos - 1, axis=1)
+            v0 = jnp.take_along_axis(val_sum, pos, axis=1)
+            vp = jnp.take_along_axis(val_sum, pos + 1, axis=1)
+            denom = vm - 2.0 * v0 + vp
+            frac = jnp.where(jnp.abs(denom) > 1e-6,
+                             0.5 * (vm - vp) / denom, 0.0)
+            return idx + jnp.clip(frac, -0.5, 0.5)
+        best_max_idx = refine(best_max_idx)
+        best_min_idx = refine(best_min_idx)
+
+    row = jnp.arange(h)[:, None]
+    col = jnp.arange(w)[None, :]
+    interior = ((row >= r) & (row < h - r) & (col >= r) & (col < w - r))
+    zero = jnp.zeros_like(val_sum)
+    return (jnp.where(interior, best_max_idx, zero),
+            jnp.where(interior, best_min_idx, zero))
+
+
+@functools.partial(jax.jit, static_argnames=("window", "subpixel"))
+def stripe_regression(frame: jax.Array, window: int, subpixel: bool = False
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Full per-frame stripe tracking (CCalculation::StripRegression,
+    CCalculation.cpp:789-891): raw (H, W) camera frame -> (strip_w,
+    strip_b) float32 offset maps."""
+    val_sum = box_sum_vertical(frame, window)
+    return windowed_extrema(val_sum, window, subpixel)
+
+
+@jax.jit
+def select_delta_p(strip_w_prev: jax.Array, strip_b_prev: jax.Array,
+                   strip_w_cur: jax.Array, strip_b_cur: jax.Array
+                   ) -> jax.Array:
+    """Delta-P selection (CCalculation.cpp:595-646): use whichever stripe
+    family (bright or dark) moved less: if |dB| < |dW| take dB else dW,
+    where dX = prev - cur."""
+    d_b = strip_b_prev - strip_b_cur
+    d_w = strip_w_prev - strip_w_cur
+    return jnp.where(jnp.abs(d_b) < jnp.abs(d_w), d_b, d_w)

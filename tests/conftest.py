@@ -1,0 +1,29 @@
+"""Test environment: force the CPU backend with 8 virtual devices so
+sharding/halo-exchange/psum paths run without a TPU slice (SURVEY.md §4's
+TPU-idiomatic fake-backend analog). Must run before jax is imported."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+import jax  # noqa: E402  (after env setup)
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,47 @@
+"""Filters: box blur parity with cv::blur semantics (golden), bilateral
+behavior."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from slc_tpu import golden
+from slc_tpu.ops.filters import box_blur, box_blur_3x3, bilateral_filter
+
+
+def test_box_blur_matches_golden(rng):
+    x = rng.normal(size=(33, 47)).astype(np.float32)
+    ours = np.asarray(box_blur_3x3(jnp.asarray(x)))
+    theirs = golden.box_blur_3x3(x)
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_box_blur_preserves_constant(rng):
+    x = jnp.full((24, 40), 3.25, jnp.float32)
+    np.testing.assert_allclose(np.asarray(box_blur(x, 5)), 3.25, atol=1e-5)
+
+
+def test_bilateral_smooths_noise_keeps_edges(rng):
+    # Step edge + noise: bilateral must reduce noise without moving the edge.
+    h, w = 64, 64
+    img = np.where(np.arange(w)[None, :] < w // 2, 40.0, 70.0)
+    img = np.broadcast_to(img, (h, w)).copy()
+    noisy = img + rng.normal(0, 0.5, size=(h, w))
+    out = np.asarray(bilateral_filter(jnp.asarray(noisy, jnp.float32),
+                                      radius=1, sigma_color=10.0,
+                                      sigma_space=25.0))
+    # Noise reduced on the flats.
+    flat = (slice(8, -8), slice(8, w // 2 - 4))
+    assert np.std(out[flat] - img[flat]) < 0.7 * np.std(
+        noisy[flat] - img[flat])
+    # Edge magnitude preserved within 10%.
+    edge_in = np.abs(noisy[:, w // 2 + 1].mean() - noisy[:, w // 2 - 2].mean())
+    edge_out = np.abs(out[:, w // 2 + 1].mean() - out[:, w // 2 - 2].mean())
+    assert edge_out > 0.9 * edge_in
+
+
+def test_bilateral_hole_aware(rng):
+    img = rng.uniform(40, 42, size=(32, 32)).astype(np.float32)
+    img[10:14, 10:14] = 0.0   # holes
+    out = np.asarray(bilateral_filter(jnp.asarray(img)))
+    assert (out[10:14, 10:14] == 0.0).all()       # holes stay holes
+    assert (out[img != 0] != 0).all()             # valid stays valid
