@@ -32,44 +32,45 @@ import jax
 import jax.numpy as jnp
 
 
-def box_sum_vertical(frame: jax.Array, window: int) -> jax.Array:
-    """Vertical ``window``-row box sum, interior-only, border zeroed.
+def box_sum_vertical_raw(frame: jax.Array, window: int) -> jax.Array:
+    """Vertical ``window``-row box sum centered per row, zero-padded at
+    the top/bottom edges, no interior masking. Shared core of the local
+    and tile-parallel paths.
 
-    Equivalent to the reference's rolling DP (CCalculation.cpp:797-823)
-    but via an exclusive cumulative sum: box(h) = S(h+r+1) - S(h-r) where
-    S is the 0-prepended row cumsum. Sums of uint8 values are exactly
-    representable in float32, so this is bit-identical to the DP.
+    Computed via an exclusive cumulative sum: box(h) = S(h+r+1) - S(h-r)
+    where S is the 0-prepended row cumsum of the zero-padded frame. Sums
+    of uint8 values are exactly representable in float32, so this is
+    bit-identical to the reference's rolling DP
+    (CCalculation.cpp:797-823).
     """
     r = window // 2
     h, w = frame.shape
     f = frame.astype(jnp.float32)
+    fp = jnp.pad(f, ((r, r), (0, 0)))
     s = jnp.concatenate(
-        [jnp.zeros((1, w), jnp.float32), jnp.cumsum(f, axis=0)], axis=0)
-    box = s[window:, :] - s[:-window, :]           # rows r .. H-r-1
-    out = jnp.zeros((h, w), jnp.float32)
-    out = out.at[r:h - r, :].set(box)
-    # Column interior mask (CCalculation.cpp:801,817).
-    col = jnp.arange(w)
-    col_mask = (col >= r) & (col < w - r)
-    return jnp.where(col_mask[None, :], out, 0.0)
+        [jnp.zeros((1, w), jnp.float32), jnp.cumsum(fp, axis=0)], axis=0)
+    return s[window:, :] - s[:-window, :]           # (h, w), centered
 
 
-def windowed_extrema(val_sum: jax.Array, window: int,
-                     subpixel: bool = False
-                     ) -> Tuple[jax.Array, jax.Array]:
-    """Per-pixel offsets of the max/min of val_sum over horizontal offsets
-    [-r, r), reference scan semantics (CCalculation.cpp:828-891).
+def box_sum_vertical(frame: jax.Array, window: int) -> jax.Array:
+    """Vertical ``window``-row box sum, interior-only, border zeroed
+    (CCalculation.cpp:797-823 semantics: rows/cols within r of the edge
+    are zero, CCalculation.cpp:801,817)."""
+    r = window // 2
+    h, w = frame.shape
+    box = box_sum_vertical_raw(frame, window)
+    row = jnp.arange(h)[:, None]
+    col = jnp.arange(w)[None, :]
+    interior = (row >= r) & (row < h - r) & (col >= r) & (col < w - r)
+    return jnp.where(interior, box, 0.0)
 
-    ``subpixel`` (framework improvement over the reference's integer
-    offsets): refine each extremum by a parabolic fit through its two
-    horizontal neighbors, offset += (v[-1]-v[+1]) / (2*(v[-1]-2v0+v[+1])),
-    clamped to +-0.5. Integer offsets quantize each frame's stripe motion
-    to whole camera pixels, which is the dominant drift source of the
-    deltaP integration at sub-pixel per-frame motion.
 
-    Returns (strip_w, strip_b): float32 offset maps (bright, dark), zero
-    outside the interior.
-    """
+def windowed_extrema_raw(val_sum: jax.Array, window: int,
+                         subpixel: bool = False
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Unmasked per-pixel extremum offsets — shared core of the local and
+    tile-parallel paths (callers apply the interior mask in the proper
+    global coordinate frame)."""
     r = window // 2
     h, w = val_sum.shape
 
@@ -102,6 +103,29 @@ def windowed_extrema(val_sum: jax.Array, window: int,
         best_max_idx = refine(best_max_idx)
         best_min_idx = refine(best_min_idx)
 
+    return best_max_idx, best_min_idx
+
+
+def windowed_extrema(val_sum: jax.Array, window: int,
+                     subpixel: bool = False
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Per-pixel offsets of the max/min of val_sum over horizontal offsets
+    [-r, r), reference scan semantics (CCalculation.cpp:828-891).
+
+    ``subpixel`` (framework improvement over the reference's integer
+    offsets): refine each extremum by a parabolic fit through its two
+    horizontal neighbors, offset += (v[-1]-v[+1]) / (2*(v[-1]-2v0+v[+1])),
+    clamped to +-0.5. Integer offsets quantize each frame's stripe motion
+    to whole camera pixels, which is the dominant drift source of the
+    deltaP integration at sub-pixel per-frame motion.
+
+    Returns (strip_w, strip_b): float32 offset maps (bright, dark), zero
+    outside the interior.
+    """
+    r = window // 2
+    h, w = val_sum.shape
+    best_max_idx, best_min_idx = windowed_extrema_raw(
+        val_sum, window, subpixel)
     row = jnp.arange(h)[:, None]
     col = jnp.arange(w)[None, :]
     interior = ((row >= r) & (row < h - r) & (col >= r) & (col < w - r))

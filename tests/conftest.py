@@ -15,6 +15,11 @@ import pytest
 
 import jax  # noqa: E402  (after env setup)
 
+# The environment may pin JAX_PLATFORMS to a TPU platform before python
+# starts (e.g. a site hook); the env vars above are then ignored, so
+# force the CPU backend explicitly too.
+jax.config.update("jax_platforms", "cpu")
+
 
 @pytest.fixture(scope="session")
 def eight_devices():

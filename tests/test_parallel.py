@@ -1,0 +1,124 @@
+"""Tile-parallel (shard_map + halo exchange) parity with the
+single-device path, on the 8-virtual-CPU-device mesh (conftest.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from slc_tpu.calib import synthetic_calibration, build_tables
+from slc_tpu.config import SystemConfig
+from slc_tpu import synth
+from slc_tpu.dynamic import TrackerState, init_tracker, dynamic_step
+from slc_tpu.ops.stripe import stripe_regression
+from slc_tpu.pipeline import decode_first_frame
+from slc_tpu.parallel import (tile_mesh, tiled_absolute_decode,
+                              tiled_stripe_regression, tiled_dynamic_step,
+                              tiled_batched_dynamic_step, shard_image)
+
+CFG = SystemConfig(cam_h=96, cam_w=160, pro_h=96, pro_w=640,
+                   gray_bits=5, phase_steps=4)
+
+
+@pytest.fixture(scope="module")
+def rig():
+    calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
+                                  pro_h=CFG.pro_h, pro_w=CFG.pro_w)
+    tables = build_tables(calib, CFG.cam_h, CFG.cam_w)
+    return calib, tables
+
+
+def test_tile_mesh_shapes(eight_devices):
+    mesh = tile_mesh(eight_devices)
+    assert mesh.shape["scan"] == 1
+    assert mesh.shape["ty"] * mesh.shape["tx"] == 8
+    mesh2 = tile_mesh(eight_devices, scan=2, tiles=(2, 2))
+    assert mesh2.shape == {"scan": 2, "ty": 2, "tx": 2}
+
+
+def test_tiled_absolute_decode_matches_single(eight_devices, rig):
+    calib, tables = rig
+    mesh = tile_mesh(eight_devices, tiles=(2, 4))
+    scene = synth.render_static_scene(calib, CFG, synth.plane_surface(50.0))
+    gray = jnp.asarray(scene.gray_images)
+    phase = jnp.asarray(scene.phase_images)
+
+    ref = decode_first_frame(gray, phase, tables, CFG)
+    got = tiled_absolute_decode(shard_image(gray, mesh),
+                                shard_image(phase, mesh), tables, CFG, mesh)
+    np.testing.assert_array_equal(np.asarray(got.proj_u),
+                                  np.asarray(ref.proj_u))
+    np.testing.assert_array_equal(np.asarray(got.z), np.asarray(ref.z))
+    np.testing.assert_array_equal(np.asarray(got.x), np.asarray(ref.x))
+
+
+@pytest.mark.parametrize("subpixel", [False, True])
+def test_tiled_stripe_regression_matches_single(eight_devices, rng, subpixel):
+    mesh = tile_mesh(eight_devices, tiles=(4, 2))
+    frame = rng.integers(0, 256, size=(CFG.cam_h, CFG.cam_w), dtype=np.uint8)
+    f = jnp.asarray(frame)
+    ref_w, ref_b = stripe_regression(f, CFG.reco_window, subpixel)
+    got_w, got_b = tiled_stripe_regression(shard_image(f, mesh), CFG, mesh,
+                                           subpixel)
+    np.testing.assert_array_equal(np.asarray(got_w), np.asarray(ref_w))
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(ref_b))
+
+
+def test_tiled_dynamic_step_matches_single(eight_devices, rig):
+    calib, tables = rig
+    mesh = tile_mesh(eight_devices, tiles=(2, 4))
+    frames, zs, pus = synth.render_dynamic_sequence(
+        calib, CFG, 3, z0=50.0, dz_per_frame=0.5, stripe_period=12)
+
+    state = init_tracker(jnp.asarray(frames[0]),
+                         jnp.asarray(pus[0], jnp.float32),
+                         jnp.asarray(zs[0], jnp.float32), CFG)
+    # Copy scalar leaves: both steps donate their state argument, and a
+    # shared buffer would be deleted by the first call.
+    t_state = jax.tree.map(lambda a: shard_image(a, mesh)
+                           if a.ndim == 2 else jnp.array(a), state)
+    for f in range(1, 3):
+        fr = jnp.asarray(frames[f])
+        state, ref = dynamic_step(state, fr, tables, CFG)
+        t_state, got = tiled_dynamic_step(t_state, shard_image(fr, mesh),
+                                          tables, CFG, mesh)
+        np.testing.assert_allclose(np.asarray(got.proj_u),
+                                   np.asarray(ref.proj_u), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.z), np.asarray(ref.z),
+                                   atol=1e-3)
+
+
+def test_tiled_batched_step_dp_and_metrics(eight_devices, rig):
+    """scan=2 DP groups x 2x2 tiles: each scan group must evolve its own
+    sequence; metrics are psum-reduced across the whole mesh."""
+    calib, tables = rig
+    mesh = tile_mesh(eight_devices, scan=2, tiles=(2, 2))
+    frames, zs, pus = synth.render_dynamic_sequence(
+        calib, CFG, 2, z0=50.0, dz_per_frame=0.5, stripe_period=12)
+
+    state = init_tracker(jnp.asarray(frames[0]),
+                         jnp.asarray(pus[0], jnp.float32),
+                         jnp.asarray(zs[0], jnp.float32), CFG)
+    # Stack the same scan twice (S=2); results must match the
+    # single-device step on each.
+    from jax.sharding import NamedSharding
+    def stack(a):
+        if a.ndim == 2:
+            out = jnp.stack([a, a])
+            return jax.device_put(out, NamedSharding(
+                mesh, P("scan", "ty", "tx")))
+        return jnp.stack([a, a])
+    states = jax.tree.map(stack, state)
+    fr = jnp.asarray(frames[1])
+    frs = jax.device_put(jnp.stack([fr, fr]),
+                         NamedSharding(mesh, P("scan", "ty", "tx")))
+
+    _, ref = dynamic_step(state, fr, tables, CFG)
+    new_states, got, metrics = tiled_batched_dynamic_step(
+        states, frs, tables, CFG, mesh)
+    for s in range(2):
+        np.testing.assert_allclose(np.asarray(got.z)[s],
+                                   np.asarray(ref.z), atol=1e-3)
+    valid = float((np.asarray(ref.z) > 0).mean())
+    assert abs(float(metrics["valid_frac"]) - valid) < 1e-5
