@@ -1,0 +1,122 @@
+"""Command-line interface.
+
+``python -m slc_tpu run``     — replay reconstruction (main.cpp:42-45)
+``python -m slc_tpu synth``   — render a synthetic replay dataset
+``python -m slc_tpu bench``   — the repo benchmark (delegates to bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_cfg_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--cam", default=None,
+                   help="camera resolution HxW (default: reference "
+                        "1024x1280, StaticParameters.cpp:8-9)")
+    p.add_argument("--pro", default=None, help="projector resolution HxW")
+    p.add_argument("--gray-bits", type=int, default=None)
+    p.add_argument("--phase-steps", type=int, default=None)
+
+
+def _build_cfg(args):
+    import dataclasses
+    from slc_tpu.config import REFERENCE_CONFIG
+    cfg = REFERENCE_CONFIG
+    updates = {}
+    if args.cam:
+        h, w = (int(v) for v in args.cam.split("x"))
+        updates.update(cam_h=h, cam_w=w)
+    if args.pro:
+        h, w = (int(v) for v in args.pro.split("x"))
+        updates.update(pro_h=h, pro_w=w)
+    if args.gray_bits is not None:
+        updates.update(gray_bits=args.gray_bits)
+    if args.phase_steps is not None:
+        updates.update(phase_steps=args.phase_steps)
+    return dataclasses.replace(cfg, **updates) if updates else cfg
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="slc_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="replay reconstruction")
+    runp.add_argument("dataset", help="dataset root (iFrame/, cFrame/)")
+    runp.add_argument("--calib", required=True,
+                      help="OpenCV-YAML calibration (CamMat/ProMat/R/T)")
+    runp.add_argument("--out", default="out")
+    runp.add_argument("--max-frames", type=int, default=None)
+    runp.add_argument("--no-clouds", action="store_true")
+    runp.add_argument("--checkpoint-every", type=int, default=0)
+    runp.add_argument("--resume", action="store_true")
+    runp.add_argument("--reference-semantics", action="store_true",
+                      help="disable subpixel tracking + gradient scaling")
+    _add_cfg_args(runp)
+
+    sy = sub.add_parser("synth", help="render a synthetic replay dataset")
+    sy.add_argument("out", help="dataset root to create")
+    sy.add_argument("--frames", type=int, default=8)
+    sy.add_argument("--noise", type=float, default=1.0)
+    sy.add_argument("--scene", choices=["plane", "sphere"], default="sphere")
+    _add_cfg_args(sy)
+
+    sub.add_parser("bench", help="run the repo benchmark")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "bench":
+        sys.path.insert(0, ".")
+        import bench
+        bench.main()
+        return 0
+
+    cfg = _build_cfg(args)
+
+    if args.cmd == "synth":
+        import numpy as np
+        from slc_tpu import synth
+        from slc_tpu.calib import synthetic_calibration
+        from slc_tpu.io.dataset import write_replay_dataset
+        from slc_tpu.io.opencv_yaml import save_calibration
+        import os
+        calib = synthetic_calibration(cam_h=cfg.cam_h, cam_w=cfg.cam_w,
+                                      pro_h=cfg.pro_h, pro_w=cfg.pro_w)
+        surface = (synth.sphere_surface() if args.scene == "sphere"
+                   else synth.plane_surface(50.0))
+        scene = synth.render_static_scene(calib, cfg, surface,
+                                          noise_sigma=args.noise)
+        frames = None
+        if args.frames:
+            frames, _, _ = synth.render_dynamic_sequence(
+                calib, cfg, args.frames, stripe_period=12,
+                noise_sigma=args.noise)
+        write_replay_dataset(args.out, scene.gray_images,
+                             scene.phase_images, frames)
+        os.makedirs(args.out, exist_ok=True)
+        save_calibration(os.path.join(args.out, "parameters.yml"), calib)
+        print(f"wrote dataset to {args.out} "
+              f"({2 * cfg.gray_bits} gray + {cfg.phase_steps} phase + "
+              f"{args.frames} dynamic frames, calib parameters.yml)")
+        return 0
+
+    if args.cmd == "run":
+        from slc_tpu.runner import run_replay
+        ref = args.reference_semantics
+        report = run_replay(
+            args.dataset, args.calib, args.out, cfg,
+            max_frames=args.max_frames, write_clouds=not args.no_clouds,
+            checkpoint_every=args.checkpoint_every, resume=args.resume,
+            scale_gradient=not ref, subpixel=not ref)
+        last = report.metrics.records[-1] if report.metrics.records else {}
+        print(f"done: frames={report.frames_done} "
+              f"first_frame_points={report.first_frame_points} "
+              f"last_valid_frac={last.get('valid_frac', 0):.3f}")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

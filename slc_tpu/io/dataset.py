@@ -1,0 +1,106 @@
+"""Replay datasets in the reference's on-disk layout.
+
+The reference's simulated sensor replays pre-captured BMP sequences
+(DynaFrame/CSensorV.cpp:31-133):
+
+    <root>/iFrame/vGrayCam{i}.bmp    i = 0..2*bits-1   (group 0)
+    <root>/iFrame/vPhaseCam{i}.bmp   i = 0..steps-1    (group 1)
+    <root>/cFrame/dynaCam{i}.bmp     i = 0..frames-1   (group 2)
+
+``ReplayDataset`` reads that layout (with optional background-thread
+prefetch of the dynamic frames — the role CSensorV's synchronous imread
+per frame plays in the reference, minus the stall);
+``write_replay_dataset`` renders a synthetic scene into it, giving the
+framework a self-contained generator of reference-format data.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from slc_tpu.io.bmp import read_bmp, write_bmp
+
+
+class ReplayDataset:
+    """Reader for a reference-layout BMP dataset (CSensorV.cpp:35-41)."""
+
+    def __init__(self, root: str, gray_count: int = 12,
+                 phase_count: int = 4, frame_count: Optional[int] = None):
+        self.root = root
+        self.gray_count = gray_count
+        self.phase_count = phase_count
+        if frame_count is None:
+            frame_count = 0
+            while os.path.exists(self._cframe_path(frame_count)):
+                frame_count += 1
+        self.frame_count = frame_count
+
+    def _iframe_path(self, kind: str, i: int) -> str:
+        return os.path.join(self.root, "iFrame", f"{kind}{i}.bmp")
+
+    def _cframe_path(self, i: int) -> str:
+        return os.path.join(self.root, "cFrame", f"dynaCam{i}.bmp")
+
+    def gray_images(self) -> np.ndarray:
+        """(2*bits, H, W) uint8 — group 0 (CSensorV.cpp:66-76)."""
+        return np.stack([read_bmp(self._iframe_path("vGrayCam", i))
+                         for i in range(self.gray_count)])
+
+    def phase_images(self) -> np.ndarray:
+        """(N, H, W) uint8 — group 1 (CSensorV.cpp:77-84)."""
+        return np.stack([read_bmp(self._iframe_path("vPhaseCam", i))
+                         for i in range(self.phase_count)])
+
+    def frame(self, i: int) -> np.ndarray:
+        """One dynamic frame — group 2 (CSensorV.cpp:85-92)."""
+        return read_bmp(self._cframe_path(i))
+
+    def frames(self, start: int = 0, prefetch: int = 4
+               ) -> Iterator[np.ndarray]:
+        """Iterate dynamic frames with background-thread read-ahead so
+        decode on device overlaps disk I/O (the streaming analog of the
+        reference's per-frame synchronous imread, CSensorV.cpp:111)."""
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for i in range(start, self.frame_count):
+                    if stop.is_set():
+                        return
+                    q.put(self.frame(i))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def write_replay_dataset(root: str, gray_images: np.ndarray,
+                         phase_images: np.ndarray,
+                         frames: Optional[np.ndarray] = None) -> None:
+    """Write image stacks into the reference layout (CSensorV.cpp:35-41),
+    creating directories as needed (the role of CStorage's mkdir
+    fallback, CStorage.cpp:41-55)."""
+    os.makedirs(os.path.join(root, "iFrame"), exist_ok=True)
+    for i, img in enumerate(gray_images):
+        write_bmp(os.path.join(root, "iFrame", f"vGrayCam{i}.bmp"), img)
+    for i, img in enumerate(phase_images):
+        write_bmp(os.path.join(root, "iFrame", f"vPhaseCam{i}.bmp"), img)
+    if frames is not None:
+        os.makedirs(os.path.join(root, "cFrame"), exist_ok=True)
+        for i, img in enumerate(frames):
+            write_bmp(os.path.join(root, "cFrame", f"dynaCam{i}.bmp"), img)

@@ -1,0 +1,107 @@
+"""End-to-end reconstruction runner — the main.cpp equivalent.
+
+The reference program is ``Init -> CalculateFirst -> CalculateOther``
+over a replay dataset, writing one ASCII point cloud per frame
+(DynaFrame/main.cpp:42-45, CCalculation.cpp:77-357). ``run_replay``
+reproduces that flow on top of the functional pipeline, adding what the
+reference lacks (SURVEY.md §5): structured per-frame metrics, periodic
+checkpointing with resume, and I/O prefetch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from slc_tpu import cloud
+from slc_tpu.calib import Calibration, build_tables
+from slc_tpu.checkpoint import save_state, load_state, latest_checkpoint
+from slc_tpu.config import SystemConfig
+from slc_tpu.dynamic import init_tracker, dynamic_step
+from slc_tpu.io.dataset import ReplayDataset
+from slc_tpu.io.opencv_yaml import load_calibration
+from slc_tpu.metrics import MetricsLog, frame_stats, stage
+from slc_tpu.pipeline import decode_first_frame
+
+
+@dataclasses.dataclass
+class RunReport:
+    frames_done: int
+    first_frame_points: int
+    metrics: MetricsLog
+
+
+def run_replay(dataset_root: str, calib: "Calibration | str",
+               out_dir: str, cfg: SystemConfig,
+               max_frames: Optional[int] = None,
+               write_clouds: bool = True,
+               checkpoint_every: int = 0,
+               resume: bool = False,
+               scale_gradient: bool = True,
+               subpixel: bool = True) -> RunReport:
+    """Run the full reference pipeline over a replay dataset.
+
+    Outputs (mirroring CCalculation::Result's file-per-frame layout,
+    CCalculation.cpp:89-93, :193-197, :310-315):
+      <out_dir>/iFrame.txt, <out_dir>/cFrame{N}.txt, <out_dir>/metrics.jsonl
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    if isinstance(calib, str):
+        calib = load_calibration(calib)
+    ds = ReplayDataset(dataset_root, gray_count=2 * cfg.gray_bits,
+                       phase_count=cfg.phase_steps)
+    tables = build_tables(calib, cfg.cam_h, cfg.cam_w)
+    log = MetricsLog()
+
+    # --- frame 0: absolute decode (CalculateFirst) -------------------
+    with stage("slc/first_frame"):
+        first = decode_first_frame(jnp.asarray(ds.gray_images()),
+                                   jnp.asarray(ds.phase_images()),
+                                   tables, cfg)
+    n_pts = 0
+    if write_clouds:
+        n_pts = cloud.write_xyz(os.path.join(out_dir, "iFrame.txt"),
+                                np.asarray(first.x), np.asarray(first.y),
+                                np.asarray(first.z))
+    log.log_frame(0, frame_stats(first.z))
+
+    # --- dynamic loop (CalculateOther) -------------------------------
+    ckpt_dir = os.path.join(out_dir, "ckpt")
+    start_frame = 1
+    state = None
+    if resume:
+        latest = latest_checkpoint(ckpt_dir)
+        if latest is not None:
+            state = load_state(latest)
+            start_frame = int(np.asarray(state.frame_idx)) + 1
+    if state is None:
+        frame0 = ds.frame(0) if ds.frame_count else None
+        if frame0 is None:
+            return RunReport(0, n_pts, log)
+        state = init_tracker(jnp.asarray(frame0), first.proj_u, first.z,
+                             cfg, subpixel)
+
+    total = ds.frame_count if max_frames is None \
+        else min(ds.frame_count, max_frames)
+    done = start_frame - 1
+    for f, frame in zip(range(start_frame, total),
+                        ds.frames(start=start_frame)):
+        with stage("slc/dynamic_step"):
+            state, res = dynamic_step(state, jnp.asarray(frame), tables,
+                                      cfg, scale_gradient, subpixel)
+        if write_clouds:
+            cloud.write_xyz(os.path.join(out_dir, f"cFrame{f}.txt"),
+                            np.asarray(res.x), np.asarray(res.y),
+                            np.asarray(res.z))
+        log.log_frame(f, frame_stats(res.z))
+        if checkpoint_every and f % checkpoint_every == 0:
+            os.makedirs(ckpt_dir, exist_ok=True)
+            save_state(os.path.join(ckpt_dir, f"frame_{f}"), state)
+        done = f
+
+    log.save(os.path.join(out_dir, "metrics.jsonl"))
+    return RunReport(done, n_pts, log)

@@ -1,0 +1,76 @@
+"""End-to-end replay runner: synth dataset -> reconstruction -> clouds,
+metrics, checkpoint/resume (the main.cpp flow, DynaFrame/main.cpp:42-45)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from slc_tpu import synth
+from slc_tpu.calib import synthetic_calibration
+from slc_tpu.checkpoint import save_state, load_state, latest_checkpoint
+from slc_tpu.config import SystemConfig
+from slc_tpu.dynamic import TrackerState
+from slc_tpu.io.dataset import write_replay_dataset
+from slc_tpu.io.opencv_yaml import save_calibration
+from slc_tpu.runner import run_replay
+
+CFG = SystemConfig(cam_h=96, cam_w=160, pro_h=96, pro_w=640, gray_bits=5)
+
+
+def _make_dataset(root):
+    calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
+                                  pro_h=CFG.pro_h, pro_w=CFG.pro_w)
+    scene = synth.render_static_scene(calib, CFG,
+                                      synth.plane_surface(50.0),
+                                      noise_sigma=1.0)
+    frames, zs, _ = synth.render_dynamic_sequence(
+        calib, CFG, 4, z0=50.0, dz_per_frame=0.3, stripe_period=12,
+        noise_sigma=1.0)
+    write_replay_dataset(root, scene.gray_images, scene.phase_images,
+                         frames)
+    save_calibration(os.path.join(root, "parameters.yml"), calib)
+    return calib, scene, zs
+
+
+def test_run_replay_end_to_end(tmp_path):
+    root = str(tmp_path / "ds")
+    out = str(tmp_path / "out")
+    _, scene, zs = _make_dataset(root)
+
+    report = run_replay(root, os.path.join(root, "parameters.yml"), out,
+                        CFG, checkpoint_every=2)
+    assert report.frames_done == 3
+    assert report.first_frame_points > 0.95 * CFG.cam_h * CFG.cam_w
+    assert os.path.exists(os.path.join(out, "iFrame.txt"))
+    assert os.path.exists(os.path.join(out, "cFrame3.txt"))
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+
+    # Frame-0 cloud accuracy vs the analytic plane.
+    pts = np.loadtxt(os.path.join(out, "iFrame.txt"))
+    interior = np.abs(pts[:, 2] - 50.0) < 1.0
+    assert interior.mean() > 0.99
+
+    # Resume from the frame-2 checkpoint reproduces frame 3 exactly.
+    c3 = np.loadtxt(os.path.join(out, "cFrame3.txt"))
+    os.remove(os.path.join(out, "cFrame3.txt"))
+    report2 = run_replay(root, os.path.join(root, "parameters.yml"), out,
+                         CFG, resume=True)
+    assert report2.frames_done == 3
+    c3b = np.loadtxt(os.path.join(out, "cFrame3.txt"))
+    np.testing.assert_allclose(c3b, c3, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    st = TrackerState(
+        proj_u=jnp.asarray(rng.normal(size=(8, 8)), jnp.float32),
+        strip_w=jnp.asarray(rng.normal(size=(8, 8)), jnp.float32),
+        strip_b=jnp.asarray(rng.normal(size=(8, 8)), jnp.float32),
+        z=jnp.asarray(rng.normal(size=(8, 8)), jnp.float32),
+        frame_idx=jnp.int32(7))
+    path = save_state(str(tmp_path / "ck" / "frame_7"), st)
+    got = load_state(path)
+    np.testing.assert_array_equal(np.asarray(got.proj_u),
+                                  np.asarray(st.proj_u))
+    assert int(np.asarray(got.frame_idx)) == 7
+    assert latest_checkpoint(str(tmp_path / "ck")) == path
