@@ -74,34 +74,48 @@ def windowed_extrema_raw(val_sum: jax.Array, window: int,
     r = window // 2
     h, w = val_sum.shape
 
+    # Lane-axis rolls are cheap on the VPU; a post-hoc gather
+    # (take_along_axis) is ~50x slower on TPU, so the parabola
+    # neighbors vm/vp are tracked during the scan instead.
+    def rolled(i):
+        return jnp.roll(val_sum, -i, axis=1)
+
     best_max = val_sum
     best_max_idx = jnp.zeros_like(val_sum)
     best_min = val_sum
     best_min_idx = jnp.zeros_like(val_sum)
+    if subpixel:
+        mm = rolled(-1)
+        mp = rolled(1)
+        max_vm, max_vp = mm, mp
+        min_vm, min_vp = mm, mp
+    v_prev = rolled(-r - 1)
+    v = rolled(-r)
     for i in range(-r, r):
         # valSum(h, w+i); interior pixels never index out of range, the
         # roll wrap only touches border pixels that are masked below.
-        v = jnp.roll(val_sum, -i, axis=1)
+        v_next = rolled(i + 1)
         upd_max = v > best_max
         best_max = jnp.where(upd_max, v, best_max)
         best_max_idx = jnp.where(upd_max, jnp.float32(i), best_max_idx)
         upd_min = v < best_min
         best_min = jnp.where(upd_min, v, best_min)
         best_min_idx = jnp.where(upd_min, jnp.float32(i), best_min_idx)
+        if subpixel:
+            max_vm = jnp.where(upd_max, v_prev, max_vm)
+            max_vp = jnp.where(upd_max, v_next, max_vp)
+            min_vm = jnp.where(upd_min, v_prev, min_vm)
+            min_vp = jnp.where(upd_min, v_next, min_vp)
+        v_prev, v = v, v_next
 
     if subpixel:
-        def refine(idx):
-            cols = jnp.arange(w, dtype=jnp.float32)[None, :]
-            pos = jnp.clip(cols + idx, 1, w - 2).astype(jnp.int32)
-            vm = jnp.take_along_axis(val_sum, pos - 1, axis=1)
-            v0 = jnp.take_along_axis(val_sum, pos, axis=1)
-            vp = jnp.take_along_axis(val_sum, pos + 1, axis=1)
+        def refine(idx, v0, vm, vp):
             denom = vm - 2.0 * v0 + vp
             frac = jnp.where(jnp.abs(denom) > 1e-6,
                              0.5 * (vm - vp) / denom, 0.0)
             return idx + jnp.clip(frac, -0.5, 0.5)
-        best_max_idx = refine(best_max_idx)
-        best_min_idx = refine(best_min_idx)
+        best_max_idx = refine(best_max_idx, best_max, max_vm, max_vp)
+        best_min_idx = refine(best_min_idx, best_min, min_vm, min_vp)
 
     return best_max_idx, best_min_idx
 

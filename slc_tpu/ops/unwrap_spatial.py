@@ -1,0 +1,154 @@
+"""Quality-guided spatial phase unwrapping (BASELINE config 3).
+
+Absent from the reference, which only does Gray-assisted temporal unwrap
+(CCalculation.cpp:561-587). The classic sequential approach (priority-
+queue flood fill from high-quality seeds) is hostile to TPUs; the
+TPU-native formulation used here is the weighted least-squares unwrap
+(Ghiglia-Romero-style):
+
+    minimize  sum_edges w_e (P_i - P_j - d_e)^2
+
+where d_e is the *wrapped* phase difference along the edge (in [-T/2,
+T/2)) and the edge weight w_e = min(q_i, q_j) is the quality-guided
+gate — low-quality pixels and phase discontinuities get near-zero
+weight, which is exactly what the sequential quality-guided order
+achieves. The normal equations are a weighted Poisson system solved by
+Jacobi-preconditioned conjugate gradient whose matvec is a 5-point
+stencil — embarrassingly tile-parallel (1-px halo per matvec, psum dot
+products; see slc_tpu.parallel.unwrap_tiled).
+
+The LS solution is then snapped to congruence with the measured wrapped
+phase (P = psi + T*round((P_ls - psi)/T)), so wherever the order field
+is locally correct the result is *exactly* psi + k T.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def wrap_to_half(d: jax.Array, period: float) -> jax.Array:
+    """Wrap values into [-T/2, T/2)."""
+    t = jnp.float32(period)
+    return d - t * jnp.floor(d / t + 0.5)
+
+
+def wrapped_gradients(psi: jax.Array, period: float
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Forward wrapped differences (dy (H-1, W), dx (H, W-1))."""
+    dy = wrap_to_half(psi[1:, :] - psi[:-1, :], period)
+    dx = wrap_to_half(psi[:, 1:] - psi[:, :-1], period)
+    return dy, dx
+
+
+def edge_weights(quality: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Quality-guided edge weights w_e = min(q_i, q_j), quality
+    normalized to [0, 1] by its max."""
+    q = quality / jnp.maximum(quality.max(), 1e-20)
+    wy = jnp.minimum(q[1:, :], q[:-1, :])
+    wx = jnp.minimum(q[:, 1:], q[:, :-1])
+    return wy, wx
+
+
+def _matvec(p: jax.Array, wy: jax.Array, wx: jax.Array) -> jax.Array:
+    """(A p)_i = sum_j w_ij (p_i - p_j) over the 4-neighborhood —
+    the weighted graph Laplacian as a 5-point stencil."""
+    out = jnp.zeros_like(p)
+    dy = wy * (p[1:, :] - p[:-1, :])
+    out = out.at[1:, :].add(dy).at[:-1, :].add(-dy)
+    dx = wx * (p[:, 1:] - p[:, :-1])
+    out = out.at[:, 1:].add(dx).at[:, :-1].add(-dx)
+    return out
+
+
+def _rhs(dy, dx, wy, wx) -> jax.Array:
+    """b_i = sum_j w_ij d_ij with d oriented away from i."""
+    b = jnp.zeros((dy.shape[0] + 1, dx.shape[1] + 1), dy.dtype)
+    wdy = wy * dy
+    b = b.at[1:, :].add(wdy).at[:-1, :].add(-wdy)
+    wdx = wx * dx
+    b = b.at[:, 1:].add(wdx).at[:, :-1].add(-wdx)
+    return b
+
+
+def _diag(wy, wx) -> jax.Array:
+    d = jnp.zeros((wy.shape[0] + 1, wx.shape[1] + 1), wy.dtype)
+    d = d.at[1:, :].add(wy).at[:-1, :].add(wy)
+    d = d.at[:, 1:].add(wx).at[:, :-1].add(wx)
+    return jnp.maximum(d, 1e-8)
+
+
+@functools.partial(jax.jit, static_argnames=("period", "max_iters"))
+def unwrap_spatial(psi: jax.Array, period: float,
+                   quality: Optional[jax.Array] = None,
+                   max_iters: int = 300, tol: float = 1e-4,
+                   anchor: Optional[jax.Array] = None) -> jax.Array:
+    """Weighted-LS spatial unwrap of wrapped coordinate ``psi`` in
+    [0, T).
+
+    Args:
+      psi: (H, W) wrapped fringe coordinate.
+      quality: (H, W) quality map (e.g. fringe modulation,
+        slc_tpu.ops.phase.modulation); None = uniform.
+      max_iters: CG iteration cap (static).
+      tol: relative residual-norm stopping threshold.
+      anchor: optional (H, W) initial absolute estimate (e.g. the
+        previous frame's P, or a coarse heterodyne result); defaults to
+        psi itself. The Laplacian's constant nullspace is fixed by
+        re-centering on the anchor's weighted mean.
+
+    Returns (H, W) float32 absolute coordinate, congruent with psi
+    modulo T at every pixel.
+    """
+    psi = psi.astype(jnp.float32)
+    if quality is None:
+        quality = jnp.ones_like(psi)
+    dy, dx = wrapped_gradients(psi, period)
+    wy, wx = edge_weights(quality.astype(jnp.float32))
+    b = _rhs(dy, dx, wy, wx)
+    dinv = 1.0 / _diag(wy, wx)
+
+    p0 = (anchor.astype(jnp.float32) if anchor is not None else psi)
+    r0 = b - _matvec(p0, wy, wx)
+    z0 = dinv * r0
+    b_norm = jnp.sqrt(jnp.sum(b * b)) + 1e-20
+
+    def cond(carry):
+        _, r, _, _, it = carry
+        return (it < max_iters) & (jnp.sqrt(jnp.sum(r * r)) > tol * b_norm)
+
+    def body(carry):
+        p, r, z, d, it = carry
+        ad = _matvec(d, wy, wx)
+        rz = jnp.sum(r * z)
+        alpha = rz / jnp.maximum(jnp.sum(d * ad), 1e-20)
+        p = p + alpha * d
+        r = r - alpha * ad
+        z_new = dinv * r
+        beta = jnp.sum(r * z_new) / jnp.maximum(rz, 1e-20)
+        return p, r, z_new, z_new + beta * d, it + 1
+
+    p, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (p0, r0, z0, z0, jnp.int32(0)))
+
+    # Remove the nullspace drift relative to the anchor, then snap to
+    # congruence with the measurement.
+    wsum = jnp.maximum(quality.sum(), 1e-20)
+    shift = jnp.sum(quality * (p - p0)) / wsum
+    p = p - shift + jnp.round(shift / period) * period
+    k = jnp.round((p - psi) / period)
+    return psi + k * jnp.float32(period)
+
+
+def unwrap_to_reference(psi: jax.Array, period: float,
+                        reference: jax.Array) -> jax.Array:
+    """Pointwise temporal re-anchor: choose the fringe order that brings
+    psi closest to ``reference`` (e.g. P[f-1] in the dynamic loop or a
+    coarse absolute estimate). The cheap O(1) unwrap the spatial solver
+    falls back to when a dense prior exists."""
+    k = jnp.round((reference.astype(jnp.float32) - psi) / period)
+    return psi + k * jnp.float32(period)

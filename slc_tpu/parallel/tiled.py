@@ -109,7 +109,9 @@ def _tile_stripe_regression(frame: jax.Array, window: int, subpixel: bool,
     maps extended by ``extend`` (<= window//2) pixels of valid neighbor
     data on every side, interior-masked in global coordinates."""
     r = window // 2
-    hw = r + extend
+    # +1: the sub-pixel parabola tracks val_sum at offsets -(r+1) and +r,
+    # one beyond the scan window (slc_tpu.ops.stripe.windowed_extrema_raw).
+    hw = r + extend + 1
     h, w = frame.shape
     row0, col0 = global_offsets(h, w)
 

@@ -1,0 +1,118 @@
+"""Tile-parallel spatial unwrapping: distributed weighted-Poisson CG.
+
+The weighted-LS unwrap of slc_tpu.ops.unwrap_spatial distributed over an
+image-tile mesh: the 5-point-stencil matvec gathers a 1-px halo via
+`ppermute` per CG iteration; the CG inner products are local partial
+sums reduced with `psum`. Scalar CG coefficients are therefore identical
+on every device and the iteration is lockstep — the halo-exchange-per-
+sweep pattern SURVEY.md §5 calls for. At the true image border the
+ppermute zero-fill gives quality 0, i.e. "no edge", matching the
+single-device operator exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from slc_tpu.ops.unwrap_spatial import wrap_to_half
+from slc_tpu.parallel.halo import halo_exchange
+from slc_tpu.parallel.mesh import SCAN, TILE_Y, TILE_X
+
+# Reduce over the tile axes only: the inputs are invariant along the
+# scan axis (psum over an axis a value does not vary on is an error).
+_AXES = (TILE_Y, TILE_X)
+SPEC2 = P(TILE_Y, TILE_X)
+
+
+def _psum_all(x):
+    return jax.lax.psum(x, _AXES)
+
+
+def _neighbor_stack(x_ext: jax.Array) -> tuple:
+    """(up, down, left, right) neighbor views of a 1-px halo-extended
+    tile, each cropped to the core shape."""
+    up = x_ext[:-2, 1:-1]
+    down = x_ext[2:, 1:-1]
+    left = x_ext[1:-1, :-2]
+    right = x_ext[1:-1, 2:]
+    return up, down, left, right
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("period", "mesh", "max_iters"))
+def tiled_unwrap_spatial(psi: jax.Array, period: float, mesh,
+                         quality: Optional[jax.Array] = None,
+                         max_iters: int = 300, tol: float = 1e-4,
+                         anchor: Optional[jax.Array] = None) -> jax.Array:
+    """Distributed version of slc_tpu.ops.unwrap_spatial.unwrap_spatial;
+    same operator, same CG, numerically lockstep across tiles."""
+    if quality is None:
+        quality = jnp.ones_like(psi, dtype=jnp.float32)
+    if anchor is None:
+        anchor = psi
+
+    def f(psi_t, q_t, p0_t):
+        psi_t = psi_t.astype(jnp.float32)
+        q_t = q_t.astype(jnp.float32)
+        q_t = q_t / jnp.maximum(jax.lax.pmax(q_t.max(), _AXES), 1e-20)
+        q_ext = halo_exchange(q_t, 1, 1)
+        psi_ext = halo_exchange(psi_t, 1, 1)
+        w_nbr = tuple(jnp.minimum(q_t, qn)
+                      for qn in _neighbor_stack(q_ext))
+        d_nbr = tuple(wrap_to_half(psi_t - pn, period)
+                      for pn in _neighbor_stack(psi_ext))
+
+        def matvec(p):
+            p_ext = halo_exchange(p, 1, 1)
+            out = jnp.zeros_like(p)
+            for w_, pn in zip(w_nbr, _neighbor_stack(p_ext)):
+                out = out + w_ * (p - pn)
+            return out
+
+        b = jnp.zeros_like(psi_t)
+        diag = jnp.zeros_like(psi_t)
+        for w_, d_ in zip(w_nbr, d_nbr):
+            b = b + w_ * d_
+            diag = diag + w_
+        dinv = 1.0 / jnp.maximum(diag, 1e-8)
+
+        def dot(a, c):
+            return _psum_all(jnp.sum(a * c))
+
+        p0 = p0_t.astype(jnp.float32)
+        r0 = b - matvec(p0)
+        z0 = dinv * r0
+        b_norm = jnp.sqrt(dot(b, b)) + 1e-20
+
+        def cond(carry):
+            _, r, _, _, it = carry
+            return (it < max_iters) & (jnp.sqrt(dot(r, r)) > tol * b_norm)
+
+        def body(carry):
+            p, r, z, d, it = carry
+            ad = matvec(d)
+            rz = dot(r, z)
+            alpha = rz / jnp.maximum(dot(d, ad), 1e-20)
+            p = p + alpha * d
+            r = r - alpha * ad
+            z_new = dinv * r
+            beta = dot(r, z_new) / jnp.maximum(rz, 1e-20)
+            return p, r, z_new, z_new + beta * d, it + 1
+
+        p, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (p0, r0, z0, z0, jnp.int32(0)))
+
+        wsum = jnp.maximum(_psum_all(q_t.sum()), 1e-20)
+        shift = _psum_all(jnp.sum(q_t * (p - p0))) / wsum
+        p = p - shift + jnp.round(shift / period) * period
+        k = jnp.round((p - psi_t) / period)
+        return psi_t + k * jnp.float32(period)
+
+    return shard_map(f, mesh=mesh, in_specs=(SPEC2, SPEC2, SPEC2),
+                     out_specs=SPEC2)(psi, quality, anchor)

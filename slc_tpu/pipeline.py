@@ -24,10 +24,12 @@ import jax.numpy as jnp
 
 from slc_tpu.calib import TriangulationTables
 from slc_tpu.config import SystemConfig, HeterodyneConfig
+from slc_tpu.ops.filters import bilateral_filter
 from slc_tpu.ops.gray import decode_gray
 from slc_tpu.ops.phase import decode_phase, phase_sincos, modulation
 from slc_tpu.ops.triangulate import triangulate_xyz
 from slc_tpu.ops.unwrap import gray_assisted_merge, heterodyne_unwrap
+from slc_tpu.ops.unwrap_spatial import unwrap_spatial
 
 
 @jax.tree_util.register_dataclass
@@ -102,4 +104,38 @@ def decode_heterodyne_frame(fringe_images: jax.Array,
         proj_u = jnp.where(valid, proj_u, 0.0)
     x, y, z = triangulate_xyz(proj_u, tables, cfg.fov_min, cfg.fov_max,
                               valid)
+    return FrameResult(x=x, y=y, z=z, proj_u=proj_u)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "period", "min_modulation",
+                                    "unwrap_iters", "filter_depth"))
+def decode_spatial_frame(fringe_images: jax.Array,
+                         tables: TriangulationTables, cfg: SystemConfig,
+                         period: float,
+                         anchor: Optional[jax.Array] = None,
+                         min_modulation: float = 2.0,
+                         unwrap_iters: int = 300,
+                         filter_depth: bool = True) -> FrameResult:
+    """Single-frequency decode with quality-guided SPATIAL unwrapping
+    (BASELINE config 3; no reference equivalent — the reference needs
+    Gray codes or temporal continuity for absolute phase):
+
+      N-step decode -> modulation quality -> weighted-LS spatial unwrap
+      -> triangulate -> hole-aware bilateral depth filter.
+
+    ``anchor`` optionally pins the global fringe order (e.g. a previous
+    absolute map); without it the result is correct up to one global
+    period offset, which triangulation maps to a depth offset.
+    """
+    wrapped = decode_phase(fringe_images, period)
+    quality = modulation(fringe_images)
+    proj_u = unwrap_spatial(wrapped, period, quality=quality,
+                            max_iters=unwrap_iters, anchor=anchor)
+    valid = quality > min_modulation
+    proj_u = jnp.where(valid, proj_u, 0.0)
+    x, y, z = triangulate_xyz(proj_u, tables, cfg.fov_min, cfg.fov_max,
+                              valid)
+    if filter_depth:
+        z = bilateral_filter(z)           # depthMapUtils.cpp:179 behavior
     return FrameResult(x=x, y=y, z=z, proj_u=proj_u)

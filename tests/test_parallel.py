@@ -122,3 +122,30 @@ def test_tiled_batched_step_dp_and_metrics(eight_devices, rig):
                                    np.asarray(ref.z), atol=1e-3)
     valid = float((np.asarray(ref.z) > 0).mean())
     assert abs(float(metrics["valid_frac"]) - valid) < 1e-5
+
+
+def test_tiled_unwrap_spatial_matches_single(eight_devices):
+    """Distributed CG unwrap: same operator, lockstep scalars -> matches
+    the single-device solver to float tolerance."""
+    from slc_tpu.ops.unwrap_spatial import unwrap_spatial
+    from slc_tpu.parallel.unwrap_tiled import tiled_unwrap_spatial
+    t = 32.0
+    h, w = 96, 128
+    x = (np.linspace(0, 5 * t, w)[None, :]
+         + 0.4 * np.arange(h)[:, None]).astype(np.float32)
+    psi = np.mod(x, t).astype(np.float32)
+    q = np.ones((h, w), np.float32)
+    q[40:48] = 1e-3
+
+    mesh = tile_mesh(eight_devices, tiles=(2, 4))
+    ref = np.asarray(unwrap_spatial(jnp.asarray(psi), t,
+                                    quality=jnp.asarray(q),
+                                    max_iters=400,
+                                    anchor=jnp.asarray(x)))
+    got = np.asarray(tiled_unwrap_spatial(
+        shard_image(jnp.asarray(psi), mesh), t, mesh,
+        quality=shard_image(jnp.asarray(q), mesh),
+        max_iters=400, anchor=shard_image(jnp.asarray(x), mesh)))
+    good = np.ones((h, w), bool); good[40:48] = False
+    np.testing.assert_allclose(got[good], ref[good], atol=1e-3)
+    np.testing.assert_allclose(got[good], x[good], atol=1e-2)

@@ -1,0 +1,54 @@
+"""Streaming loop: pipelined results must equal the synchronous loop."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from slc_tpu import synth
+from slc_tpu.calib import synthetic_calibration, build_tables
+from slc_tpu.config import SystemConfig
+from slc_tpu.dynamic import init_tracker, dynamic_step
+from slc_tpu.streaming import run_streaming, stream_frames
+
+CFG = SystemConfig(cam_h=96, cam_w=160, pro_h=96, pro_w=640, gray_bits=5)
+
+
+def test_streaming_matches_synchronous():
+    calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
+                                  pro_h=CFG.pro_h, pro_w=CFG.pro_w)
+    tables = build_tables(calib, CFG.cam_h, CFG.cam_w)
+    frames, zs, pus = synth.render_dynamic_sequence(
+        calib, CFG, 5, z0=50.0, dz_per_frame=0.4, stripe_period=12)
+
+    def mk_state():
+        return init_tracker(jnp.asarray(frames[0]),
+                            jnp.asarray(pus[0], jnp.float32),
+                            jnp.asarray(zs[0], jnp.float32), CFG)
+
+    # Synchronous reference.
+    state = mk_state()
+    ref_z = []
+    for f in range(1, 5):
+        state, res = dynamic_step(state, jnp.asarray(frames[f]),
+                                  tables, CFG)
+        ref_z.append(np.asarray(res.z))
+
+    # Pipelined.
+    got_z = [np.asarray(r.z) for _, r in
+             stream_frames(mk_state(), frames[1:], tables, CFG)]
+    assert len(got_z) == 4
+    for a, b in zip(got_z, ref_z):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_run_streaming_stats():
+    calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
+                                  pro_h=CFG.pro_h, pro_w=CFG.pro_w)
+    tables = build_tables(calib, CFG.cam_h, CFG.cam_w)
+    frames, zs, pus = synth.render_dynamic_sequence(
+        calib, CFG, 4, z0=50.0, dz_per_frame=0.4, stripe_period=12)
+    state = init_tracker(jnp.asarray(frames[0]),
+                         jnp.asarray(pus[0], jnp.float32),
+                         jnp.asarray(zs[0], jnp.float32), CFG)
+    _, stats = run_streaming(state, frames[1:], tables, CFG)
+    s = stats.summary()
+    assert s["frames"] == 3 and s["fps"] > 0
