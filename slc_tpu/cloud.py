@@ -123,7 +123,26 @@ def write_xyz(path: str, x: np.ndarray, y: np.ndarray, z: np.ndarray,
               mask: Optional[np.ndarray] = None) -> int:
     """Write 'x y z' lines for valid pixels (z > 0 unless ``mask`` is
     given) — the per-frame output of the reference pipeline
-    (CCalculation.cpp:341-350). Returns the number of points written."""
+    (CCalculation.cpp:341-350). Returns the number of points written.
+
+    Uses the native C++ writer when available (the ~1.3M-point ASCII
+    dump is host-format-bound; the reference pays this in iostream per
+    frame, CCalculation.cpp:348-350)."""
+    if mask is None:
+        from slc_tpu.io import native
+        l = native.lib()
+        if l is not None:
+            import ctypes
+            fx, fy, fz = (np.ascontiguousarray(np.asarray(a, np.float32)
+                                               ).ravel()
+                          for a in (x, y, z))
+            f32p = ctypes.POINTER(ctypes.c_float)
+            n = l.slc_write_xyz(path.encode(),
+                                fx.ctypes.data_as(f32p),
+                                fy.ctypes.data_as(f32p),
+                                fz.ctypes.data_as(f32p), fx.size)
+            if n >= 0:
+                return int(n)
     x, y, z = (np.asarray(a, np.float64).ravel() for a in (x, y, z))
     m = (z > 0) if mask is None else np.asarray(mask, bool).ravel()
     pts = np.stack([x[m], y[m], z[m]], axis=1)

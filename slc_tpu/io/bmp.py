@@ -19,10 +19,23 @@ _BI_HEADER = struct.Struct("<IiiHHIIiiII")     # BITMAPINFOHEADER
 
 def write_bmp(path: str, img: np.ndarray) -> None:
     """Write (H, W) uint8 as an 8-bit palette BMP or (H, W, 3) uint8
-    (RGB order) as a 24-bit BMP."""
+    (RGB order) as a 24-bit BMP. Grayscale writes use the native C++
+    codec when available."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("BMP writer expects uint8")
+    if img.ndim == 2:
+        from slc_tpu.io import native
+        l = native.lib()
+        if l is not None:
+            c = np.ascontiguousarray(img)
+            import ctypes
+            rc = l.slc_bmp_write_gray(
+                path.encode(), c.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint8)),
+                c.shape[0], c.shape[1])
+            if rc == 0:
+                return
     h, w = img.shape[:2]
     gray = img.ndim == 2
     bpp = 8 if gray else 24
@@ -51,7 +64,25 @@ def write_bmp(path: str, img: np.ndarray) -> None:
 def read_bmp(path: str, grayscale: bool = True) -> np.ndarray:
     """Read an uncompressed 8-bit palette or 24/32-bit BMP. With
     ``grayscale`` (the reference's imread mode, CSensorV.cpp:111-114),
-    color images are converted with the OpenCV/ITU-R 601 weights."""
+    color images are converted with the OpenCV/ITU-R 601 weights.
+    Grayscale reads use the native C++ codec when available."""
+    if grayscale:
+        from slc_tpu.io import native
+        l = native.lib()
+        if l is not None:
+            import ctypes
+            h = ctypes.c_int()
+            w = ctypes.c_int()
+            bpp = ctypes.c_int()
+            if l.slc_bmp_probe(path.encode(), ctypes.byref(h),
+                               ctypes.byref(w), ctypes.byref(bpp)) == 0:
+                out = np.empty((h.value, w.value), np.uint8)
+                rc = l.slc_bmp_read_gray(
+                    path.encode(),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    h.value, w.value)
+                if rc == 0:
+                    return out
     with open(path, "rb") as f:
         buf = f.read()
     magic, _, _, _, data_offset = _BF_HEADER.unpack_from(buf, 0)
@@ -82,10 +113,12 @@ def read_bmp(path: str, grayscale: bool = True) -> np.ndarray:
         raise ValueError(f"{path}: {bpp}-bit BMP not supported")
 
     if grayscale:
-        b, g, r = (bgr[..., i].astype(np.float32) for i in range(3))
         if bpp == 8 and (pal[:, 0] == pal[:, 1]).all() \
                 and (pal[:, 1] == pal[:, 2]).all():
             return bgr[..., 0].copy()                 # true grayscale
-        return np.clip(0.114 * b + 0.587 * g + 0.299 * r + 0.5,
-                       0, 255).astype(np.uint8)
+        b, g, r = (bgr[..., i].astype(np.int32) for i in range(3))
+        # OpenCV's exact integer BGR2GRAY arithmetic (also used by the
+        # native codec): (1868 B + 9617 G + 4899 R + 8192) >> 14.
+        return ((1868 * b + 9617 * g + 4899 * r + 8192) >> 14
+                ).astype(np.uint8)
     return bgr[..., ::-1].copy()                      # RGB

@@ -1,0 +1,151 @@
+"""Fused Pallas stripe-tracking kernel.
+
+One kernel fuses the reference's whole StripRegression chain
+(DynaFrame/CCalculation.cpp:789-891): vertical 21-row box sum ->
+horizontal windowed max/min scan -> sub-pixel parabolic refine ->
+interior masking. The XLA path (slc_tpu.ops.stripe) materializes ~20
+full-image f32 intermediates in HBM; here each row-block tile stays in
+VMEM: HBM traffic is one uint8 frame read + two f32 offset-map writes.
+
+Grid: 1-D over row blocks; every tile spans the full (lane-padded) image
+width, so the horizontal scan needs no column halo and the only overlap
+is the 2r rows of the box sum, re-read from HBM per tile (the caller
+pads the frame by r rows top/bottom).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _stripe_kernel(frame_hbm, sw_ref, sb_ref, scratch, sem, *,
+                   window: int, subpixel: bool, block_h: int,
+                   img_h: int, img_w: int, pad_w: int, ext_rows: int):
+    r = window // 2
+    i = pl.program_id(0)
+
+    # DMA slice rows must be tiling-aligned; ext_rows is block_h + 2r
+    # rounded up to 32 (the int8 sublane tile), the tail rows unused.
+    dma = pltpu.make_async_copy(
+        frame_hbm.at[pl.ds(i * block_h, ext_rows), :],
+        scratch, sem)
+    dma.start()
+    dma.wait()
+    # Mosaic has no direct uint8 -> f32 cast; hop through int32.
+    f = scratch[:].astype(jnp.int32).astype(jnp.float32)
+
+    # Vertical box sum for the block's rows: out row k (global
+    # i*block_h + k) sums padded rows k .. k+2r.
+    vs = f[0:block_h, :]
+    for k in range(1, window):
+        vs = vs + f[k:k + block_h, :]
+
+    # Interior mask in global coordinates (CCalculation.cpp:801,817).
+    row0 = i * block_h
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (block_h, pad_w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_h, pad_w), 1)
+    interior = ((rows >= r) & (rows < img_h - r)
+                & (cols >= r) & (cols < img_w - r))
+    vs = jnp.where(interior, vs, 0.0)
+    out_w = sw_ref.shape[1]
+
+    # Horizontal windowed extrema over offsets [-r, r) with the
+    # center-initialized strict-inequality tie-breaking
+    # (CCalculation.cpp:828-891); lane rolls keep everything in VMEM.
+    def rolled(k):
+        # jnp.roll(vs, -k) with the non-negative shift pltpu.roll needs.
+        return pltpu.roll(vs, (-k) % pad_w, axis=1)
+
+    best_max = vs
+    best_max_idx = jnp.zeros_like(vs)
+    best_min = vs
+    best_min_idx = jnp.zeros_like(vs)
+    if subpixel:
+        mm = rolled(-1)
+        mp = rolled(1)
+        max_vm, max_vp = mm, mp
+        min_vm, min_vp = mm, mp
+    v_prev = rolled(-r - 1)
+    v = rolled(-r)
+    for k in range(-r, r):
+        v_next = rolled(k + 1)
+        upd_max = v > best_max
+        best_max = jnp.where(upd_max, v, best_max)
+        best_max_idx = jnp.where(upd_max, jnp.float32(k), best_max_idx)
+        upd_min = v < best_min
+        best_min = jnp.where(upd_min, v, best_min)
+        best_min_idx = jnp.where(upd_min, jnp.float32(k), best_min_idx)
+        if subpixel:
+            max_vm = jnp.where(upd_max, v_prev, max_vm)
+            max_vp = jnp.where(upd_max, v_next, max_vp)
+            min_vm = jnp.where(upd_min, v_prev, min_vm)
+            min_vp = jnp.where(upd_min, v_next, min_vp)
+        v_prev, v = v, v_next
+
+    if subpixel:
+        def refine(idx, v0, vm, vp):
+            denom = vm - 2.0 * v0 + vp
+            frac = jnp.where(jnp.abs(denom) > 1e-6,
+                             0.5 * (vm - vp) / denom, 0.0)
+            return idx + jnp.clip(frac, -0.5, 0.5)
+        best_max_idx = refine(best_max_idx, best_max, max_vm, max_vp)
+        best_min_idx = refine(best_min_idx, best_min, min_vm, min_vp)
+
+    zero = jnp.zeros_like(vs)
+    # Write exact-width blocks: cropping AFTER the kernel would make the
+    # padded outputs XLA temps, which this backend stack-allocates in
+    # VMEM (OOM at 2 MP for full-image f32 pairs).
+    sw_ref[:] = jnp.where(interior, best_max_idx, zero)[:, :out_w]
+    sb_ref[:] = jnp.where(interior, best_min_idx, zero)[:, :out_w]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "subpixel", "block_h",
+                                    "interpret"))
+def stripe_regression_pallas(frame: jax.Array, window: int = 21,
+                             subpixel: bool = True, block_h: int = 128,
+                             interpret: bool = False
+                             ) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in replacement for slc_tpu.ops.stripe.stripe_regression.
+
+    frame: (H, W) uint8/float. Returns (strip_w, strip_b) float32.
+    """
+    r = window // 2
+    h, w = frame.shape
+    pad_w = -(-w // 128) * 128
+    hb = -(-h // block_h) * block_h
+    ext_rows = -(-(block_h + 2 * r) // 32) * 32
+    # Bottom padding so the last block's ext_rows read stays in bounds.
+    bot = (hb - h) + r + (ext_rows - block_h - 2 * r)
+    f = jnp.pad(frame, ((r, bot), (0, pad_w - w)))
+
+    kernel = functools.partial(
+        _stripe_kernel, window=window, subpixel=subpixel,
+        block_h=block_h, img_h=h, img_w=w, pad_w=pad_w,
+        ext_rows=ext_rows)
+
+    grid = (hb // block_h,)
+    # Exact (h, w) outputs: pallas clips ragged edge blocks, and exact
+    # shapes keep the outputs program results (HBM), not VMEM temps.
+    out_spec = pl.BlockSpec((block_h, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    sw, sb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((h, w), jnp.float32),
+                   jax.ShapeDtypeStruct((h, w), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((ext_rows, pad_w), frame.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(f)
+    return sw, sb

@@ -132,8 +132,8 @@ def test_bmp_color_roundtrip(tmp_path, rng):
     write_bmp(p, img)
     np.testing.assert_array_equal(read_bmp(p, grayscale=False), img)
     gray = read_bmp(p, grayscale=True)
-    want = np.clip(0.114 * img[..., 2] + 0.587 * img[..., 1]
-                   + 0.299 * img[..., 0] + 0.5, 0, 255).astype(np.uint8)
+    b, g, r = (img[..., i].astype(np.int32) for i in (2, 1, 0))
+    want = ((1868 * b + 9617 * g + 4899 * r + 8192) >> 14).astype(np.uint8)
     np.testing.assert_array_equal(gray, want)
 
 

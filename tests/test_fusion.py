@@ -1,0 +1,80 @@
+"""Multi-scan bundle adjustment: convergence, ATE, and distributed
+parity (landmark-sharded Schur reduction)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from slc_tpu import se3, fusion
+from slc_tpu.parallel.fusion_tiled import (fusion_mesh, shard_landmarks,
+                                           tiled_fuse_scans)
+
+
+def _make_problem(rng, s=6, l=64, noise=0.0, drop=0.2):
+    """Ground-truth poses on a small arc + landmarks in a box; obs in
+    scan-local frames: y = R^T (X - t)."""
+    angles = np.linspace(0, 0.4, s)
+    rot_gt = np.stack([np.asarray(se3.exp_so3(jnp.asarray(
+        [0.0, a, 0.05 * a], jnp.float32))) for a in angles])
+    trans_gt = np.stack([np.array([3.0 * a, 0.2 * a, 0.1 * a])
+                         for a in angles]).astype(np.float32)
+    landmarks = rng.uniform(-5, 5, size=(l, 3)).astype(np.float32)
+    landmarks[:, 2] += 20.0
+
+    obs = np.stack([
+        (landmarks - trans_gt[i]) @ rot_gt[i]      # R^T (X - t)
+        for i in range(s)])
+    if noise:
+        obs = obs + rng.normal(0, noise, obs.shape)
+    mask = (rng.uniform(size=(s, l)) > drop).astype(np.float32)
+    mask[0] = 1.0                                  # anchor scan sees all
+    return (jnp.asarray(obs, jnp.float32), jnp.asarray(mask),
+            jnp.asarray(rot_gt, jnp.float32), jnp.asarray(trans_gt))
+
+
+def test_fusion_exact_recovery(rng):
+    obs, mask, rot_gt, trans_gt = _make_problem(rng, noise=0.0)
+    rot, trans, lm = fusion.fuse_scans(obs, mask, iters=15)
+    ate = float(fusion.ate_rmse(rot, trans, rot_gt, trans_gt))
+    assert ate < 1e-3, ate
+
+
+def test_fusion_noise_ate(rng):
+    obs, mask, rot_gt, trans_gt = _make_problem(rng, noise=0.01)
+    rot, trans, lm = fusion.fuse_scans(obs, mask, iters=15)
+    ate = float(fusion.ate_rmse(rot, trans, rot_gt, trans_gt))
+    # ATE should be on the order of the observation noise.
+    assert ate < 0.05, ate
+
+
+def test_fusion_residual_decreases(rng):
+    obs, mask, rot_gt, trans_gt = _make_problem(rng, noise=0.005)
+    def cost(r, t, x):
+        res = fusion.residuals(r, t, x, obs, mask)
+        return float(jnp.sum(res * res))
+    s = obs.shape[0]
+    rot0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (s, 3, 3))
+    t0 = jnp.zeros((s, 3), jnp.float32)
+    pred = jnp.einsum("sij,slj->sli", rot0, obs)
+    lm0 = (pred * mask[..., None]).sum(0) / jnp.maximum(
+        mask.sum(0)[:, None], 1.0)
+    c0 = cost(rot0, t0, lm0)
+    rot, trans, lm = fusion.fuse_scans(obs, mask, iters=15)
+    assert cost(rot, trans, lm) < 1e-3 * c0
+
+
+def test_fusion_distributed_matches_single(eight_devices, rng):
+    """16 scans, landmark-sharded over 8 devices: the psum-reduced GN
+    must match the single-device solve."""
+    obs, mask, rot_gt, trans_gt = _make_problem(rng, s=16, l=128,
+                                                noise=0.01)
+    rot_s, trans_s, _ = fusion.fuse_scans(obs, mask, iters=10)
+
+    mesh = fusion_mesh(eight_devices)
+    obs_d, mask_d = shard_landmarks(mesh, obs, mask)
+    rot_d, trans_d, lm_d = tiled_fuse_scans(obs_d, mask_d, mesh, iters=10)
+    np.testing.assert_allclose(np.asarray(rot_d), np.asarray(rot_s),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(trans_d), np.asarray(trans_s),
+                               atol=1e-3)
+    ate = float(fusion.ate_rmse(rot_d, trans_d, rot_gt, trans_gt))
+    assert ate < 0.05, ate
