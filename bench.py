@@ -13,11 +13,19 @@ BASELINE.md; the reference publishes no numbers of its own).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: TPU compiles here are remote and slow
+# (minutes); cache them across processes.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main() -> None:

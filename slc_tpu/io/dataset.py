@@ -89,6 +89,44 @@ class ReplayDataset:
             stop.set()
 
 
+class FaultInjector:
+    """Wraps a ReplayDataset with seeded fault injection — the testing
+    hook the reference lacks (its error path prints and continues with
+    empty images, CSensorV.cpp:122-129; GlobalFunction.cpp:3-8).
+
+    ``drop_prob``: frame read raises IOError. ``corrupt_prob``: frame is
+    replaced by uniform noise (a decodable-but-garbage capture).
+    """
+
+    def __init__(self, dataset: ReplayDataset, drop_prob: float = 0.0,
+                 corrupt_prob: float = 0.0, seed: int = 0):
+        self.ds = dataset
+        self.drop_prob = drop_prob
+        self.corrupt_prob = corrupt_prob
+        self._rng = np.random.default_rng(seed)
+        self.faults: list = []
+
+    def __getattr__(self, name):
+        return getattr(self.ds, name)
+
+    def frame(self, i: int) -> np.ndarray:
+        u = self._rng.uniform()
+        if u < self.drop_prob:
+            self.faults.append(("drop", i))
+            raise IOError(f"injected fault: dropped frame {i}")
+        img = self.ds.frame(i)
+        if u < self.drop_prob + self.corrupt_prob:
+            self.faults.append(("corrupt", i))
+            img = self._rng.integers(0, 256, img.shape,
+                                     dtype=np.uint8)
+        return img
+
+    def frames(self, start: int = 0, prefetch: int = 4):
+        # Sequential (no prefetch thread) so faults surface in order.
+        for i in range(start, self.ds.frame_count):
+            yield self.frame(i)
+
+
 def write_replay_dataset(root: str, gray_images: np.ndarray,
                          phase_images: np.ndarray,
                          frames: Optional[np.ndarray] = None) -> None:

@@ -42,7 +42,10 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                checkpoint_every: int = 0,
                resume: bool = False,
                scale_gradient: bool = True,
-               subpixel: bool = True) -> RunReport:
+               subpixel: bool = True,
+               fault_drop_prob: float = 0.0,
+               fault_corrupt_prob: float = 0.0,
+               fault_seed: int = 0) -> RunReport:
     """Run the full reference pipeline over a replay dataset.
 
     Outputs (mirroring CCalculation::Result's file-per-frame layout,
@@ -54,6 +57,10 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
         calib = load_calibration(calib)
     ds = ReplayDataset(dataset_root, gray_count=2 * cfg.gray_bits,
                        phase_count=cfg.phase_steps)
+    if fault_drop_prob or fault_corrupt_prob:
+        from slc_tpu.io.dataset import FaultInjector
+        ds = FaultInjector(ds, fault_drop_prob, fault_corrupt_prob,
+                           fault_seed)
     tables = build_tables(calib, cfg.cam_h, cfg.cam_w)
     log = MetricsLog()
 
@@ -79,17 +86,35 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
             state = load_state(latest)
             start_frame = int(np.asarray(state.frame_idx)) + 1
     if state is None:
-        frame0 = ds.frame(0) if ds.frame_count else None
-        if frame0 is None:
+        if not ds.frame_count:
             return RunReport(0, n_pts, log)
+        # Bounded retry for the tracking anchor frame — the analog of
+        # the reference camera's 30-attempt snapshot loop
+        # (CCamera.cpp:97-107).
+        frame0 = None
+        for _ in range(30):
+            try:
+                frame0 = ds.frame(0)
+                break
+            except (IOError, OSError):
+                continue
+        if frame0 is None:
+            raise IOError("frame 0 unreadable after 30 attempts")
         state = init_tracker(jnp.asarray(frame0), first.proj_u, first.z,
                              cfg, subpixel)
 
     total = ds.frame_count if max_frames is None \
         else min(ds.frame_count, max_frames)
     done = start_frame - 1
-    for f, frame in zip(range(start_frame, total),
-                        ds.frames(start=start_frame)):
+    for f in range(start_frame, total):
+        try:
+            frame = ds.frame(f)
+        except (IOError, OSError) as e:
+            # Failure recovery (absent in the reference, which proceeds
+            # with empty images — CSensorV.cpp:122-129): skip the frame,
+            # carry the tracker state, record the fault.
+            log.log_frame(f, frame_stats(state.z), fault=str(e))
+            continue
         with stage("slc/dynamic_step"):
             state, res = dynamic_step(state, jnp.asarray(frame), tables,
                                       cfg, scale_gradient, subpixel)

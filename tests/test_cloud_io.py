@@ -176,3 +176,27 @@ def test_replay_dataset_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(ds.frame(3), frames[3])
     got = np.stack(list(ds.frames()))
     np.testing.assert_array_equal(got, frames)
+
+
+# --------------------------------------------------------- visualization
+
+def test_visualization_show_gated(tmp_path, monkeypatch):
+    from slc_tpu import visualization as vis
+    img = np.linspace(0, 1, 64).reshape(8, 8)
+    monkeypatch.setattr(vis, "VISUAL_DEBUG", False)
+    assert vis.show("x", img, out_dir=str(tmp_path)) is None
+    p = vis.show("x", img, out_dir=str(tmp_path), force=True)
+    assert p and os.path.exists(p)
+    disp = read_bmp(p)
+    assert disp.min() == 0 and disp.max() == 255
+
+
+def test_store_images_batch(tmp_path, rng):
+    from slc_tpu.visualization import store_images
+    imgs = [rng.integers(0, 256, (16, 16), dtype=np.uint8)
+            for _ in range(3)]
+    d = str(tmp_path / "arch" / "nested")
+    assert store_images(imgs, d, "img", start_idx=5) == 3
+    for i in (5, 6, 7):
+        np.testing.assert_array_equal(
+            read_bmp(os.path.join(d, f"img{i}.bmp")), imgs[i - 5])
