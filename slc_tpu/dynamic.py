@@ -57,7 +57,8 @@ def _stripe(frame: jax.Array, window: int, subpixel: bool,
     """Select the stripe-tracking backend: the fused Pallas kernel on
     TPU (one HBM pass, ~67x the XLA path at 2 MP), XLA elsewhere."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # "axon" is a tunneled TPU platform; same Mosaic kernels.
+        use_pallas = jax.default_backend() in ("tpu", "axon")
     if use_pallas:
         from slc_tpu.pallas.stripe import stripe_regression_pallas
         return stripe_regression_pallas(frame, window, subpixel)

@@ -71,10 +71,15 @@ def _gn_terms(rot, trans, landmarks, obs, mask):
 def _schur_reduce(h_cc, b_c, h_ll, b_l, h_cl, damping):
     """Form the reduced camera system from (possibly local-shard) sums.
     Returns (s_cc (S,6,S,6) flattened contributions, rhs (S,6),
-    h_ll_inv)."""
+    h_ll_inv). ``damping`` is RELATIVE (Levenberg-Marquardt style,
+    lambda * diag): pose blocks mix |p|^2-scaled rotation terms with
+    O(#obs) translation terms, so absolute damping cannot regularize
+    the near-null directions (e.g. sliding along a planar scene)
+    without crushing the well-conditioned ones."""
     s, l = h_cl.shape[0], h_cl.shape[1]
+    d_ll = jnp.einsum("lii->l", h_ll)[:, None, None] / 3.0
     h_ll_inv = jnp.linalg.inv(
-        h_ll + damping * jnp.eye(3, dtype=h_ll.dtype)[None])
+        h_ll + (damping * d_ll + 1e-12) * jnp.eye(3, dtype=h_ll.dtype))
     # W_l = H_cl H_ll^{-1}: (S,L,6,3)
     w = jnp.einsum("slij,ljk->slik", h_cl, h_ll_inv)
     # Off-diagonal coupling: sum_l W_s H_lc_s' = (S,6,S',6)
@@ -84,7 +89,7 @@ def _schur_reduce(h_cc, b_c, h_ll, b_l, h_cl, damping):
 
 
 def gn_step(rot, trans, landmarks, obs, mask,
-            damping: float = 1e-6,
+            damping: float = 1e-3,
             reduce_fn=None) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One Gauss-Newton step; ``reduce_fn`` sums Schur terms across
     landmark shards (identity locally, `psum` under shard_map)."""
@@ -98,7 +103,10 @@ def gn_step(rot, trans, landmarks, obs, mask,
         s_off = reduce_fn(s_off)
         rhs_red = reduce_fn(rhs_red)
 
-    a = (jax.scipy.linalg.block_diag(*(h_cc + damping * jnp.eye(6)))
+    diag_cc = jnp.einsum("sii->si", h_cc)
+    lm_term = damping * jax.vmap(jnp.diag)(diag_cc) \
+        + 1e-12 * jnp.eye(6, dtype=h_cc.dtype)
+    a = (jax.scipy.linalg.block_diag(*(h_cc + lm_term))
          .reshape(s, 6, s, 6) - s_off)
     # Gauge fix: freeze scan 0 (identity rows/cols, zero rhs).
     a = a.reshape(6 * s, 6 * s)
@@ -122,12 +130,96 @@ def gn_step(rot, trans, landmarks, obs, mask,
     return new_rot, new_trans, landmarks + delta_l
 
 
+def _gn_terms_p2l(rot, trans, landmarks, normals, obs, mask, center):
+    """Point-to-plane GN blocks: scalar residual e = n_l . (R_s y + t_s
+    - X_l) with the landmark's world normal n_l and rotation levers
+    centered on ``center`` (S, 3). J_pose = [n | -(n x (pred - c))]
+    (1x6). Point-to-plane kills the tangential-sliding null directions
+    of point-to-point projective association (the standard ICP result);
+    centroid-centered rotation keeps the pose Hessian conditioned at
+    f32 (origin-centered levers of O(60) give condition ~|p|^4)."""
+    ry = jnp.einsum("sij,slj->sli", rot, obs)               # (S,L,3)
+    pred = ry + trans[:, None, :]
+    e = jnp.einsum("lk,slk->sl", normals,
+                   pred - landmarks[None]) * mask            # (S,L)
+
+    # Huber reweighting (delta = 3x the masked-mean |e|): occlusion
+    # boundaries and normal flips produce heavy-tailed residuals that
+    # plain least squares lets dominate the step.
+    mean_abs = (jnp.abs(e).sum() / jnp.maximum(mask.sum(), 1.0))
+    delta = 3.0 * mean_abs + 1e-6
+    w_rob = jnp.sqrt(jnp.minimum(1.0, delta / (jnp.abs(e) + 1e-12)))
+    e = e * w_rob
+
+    lever = pred - center[:, None, :]                        # (S,L,3)
+    n_b = jnp.broadcast_to(normals[None], ry.shape)          # (S,L,3)
+    j = jnp.concatenate([n_b, -jnp.cross(n_b, lever)],
+                        axis=-1)                             # (S,L,6)
+    j = j * (mask * w_rob)[..., None]
+
+    h_cc = jnp.einsum("sli,slj->sij", j, j)                  # (S,6,6)
+    b_c = -jnp.einsum("sli,sl->si", j, e)                    # (S,6)
+    return h_cc, b_c, e
+
+
+def gn_step_p2l(rot, trans, landmarks, normals, obs, mask,
+                damping: float = 1e-3, reduce_fn=None):
+    """One point-to-plane Gauss-Newton step over POSES ONLY.
+
+    Landmarks stay fixed: a free landmark under scalar point-to-plane
+    residuals has 3 DoF against <= a handful of equations, so it can
+    absorb every observation and leave the poses unconstrained (the
+    system reaches zero residual at arbitrary poses). Classic ICP
+    therefore treats the associated surface anchors as data; they are
+    re-estimated only in the association round. With fixed landmarks
+    the pose Hessian is block-diagonal — no Schur coupling — and the
+    distributed reduction is one psum of (centroid, H_cc, b_c) over
+    landmark shards."""
+    red = reduce_fn if reduce_fn is not None else (lambda x: x)
+
+    pred = jnp.einsum("sij,slj->sli", rot, obs) + trans[:, None, :]
+    csum = red((pred * mask[..., None]).sum(1))              # (S,3)
+    nobs = jnp.maximum(red(mask.sum(1)), 1.0)                # (S,)
+    center = csum / nobs[:, None]
+
+    h_cc, b_c, _ = _gn_terms_p2l(rot, trans, landmarks, normals, obs,
+                                 mask, center)
+    h_cc = red(h_cc)
+    b_c = red(b_c)
+
+    diag_cc = jnp.einsum("sii->si", h_cc)
+    lm_term = damping * jax.vmap(jnp.diag)(diag_cc) \
+        + 1e-9 * jnp.eye(6, dtype=h_cc.dtype)
+    delta_c = jnp.linalg.solve(h_cc + lm_term, b_c[..., None])[..., 0]
+    delta_c = delta_c.at[0].set(0.0)                         # gauge
+
+    # Centroid-centered update: pred' = exp(w)(pred - c) + c + dt, i.e.
+    # R' = exp(w) R, t' = exp(w)(t - c) + c + dt.
+    d_rot, d_t = se3.exp_se3(delta_c)
+    new_trans = (jnp.einsum("sij,sj->si", d_rot, trans - center)
+                 + center + d_t)
+    return d_rot @ rot, new_trans, landmarks
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def fuse_scans_p2l(obs: jax.Array, mask: jax.Array, normals: jax.Array,
+                   init_rot: jax.Array, init_trans: jax.Array,
+                   init_landmarks: jax.Array,
+                   iters: int = 10, damping: float = 1e-3):
+    """Point-to-plane multi-scan alignment (normals (L, 3) in world)."""
+    def body(_, carry):
+        r, t, x = carry
+        return gn_step_p2l(r, t, x, normals, obs, mask, damping)
+    return jax.lax.fori_loop(0, iters, body,
+                             (init_rot, init_trans, init_landmarks))
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def fuse_scans(obs: jax.Array, mask: jax.Array,
                init_rot: Optional[jax.Array] = None,
                init_trans: Optional[jax.Array] = None,
                init_landmarks: Optional[jax.Array] = None,
-               iters: int = 10, damping: float = 1e-6):
+               iters: int = 10, damping: float = 1e-3):
     """Single-device bundle adjustment.
 
     Args:

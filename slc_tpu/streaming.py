@@ -84,28 +84,34 @@ def stream_frames(state: TrackerState, frames: Iterable[np.ndarray],
 def run_streaming(state: TrackerState, frames: Iterable[np.ndarray],
                   tables: TriangulationTables, cfg: SystemConfig,
                   sync_every: int = 1,
-                  scale_gradient: bool = True, subpixel: bool = True
+                  scale_gradient: bool = True, subpixel: bool = True,
+                  fetch: Optional[Callable[[FrameResult], object]] = None
                   ) -> Tuple[TrackerState, StreamStats]:
     """Drive the streaming loop measuring per-frame wall latency.
 
     ``sync_every`` = N blocks on the depth map every N frames (N=1
     measures true per-frame latency; larger N measures pipelined
-    throughput where transfers hide under compute).
+    throughput where transfers hide under compute). ``fetch`` overrides
+    the per-frame result consumer (default: async z host copy); pass
+    e.g. ``lambda r: r`` to keep results device-resident when the
+    host link is slow (tunneled TPU).
     """
     lat: List[float] = []
     t0 = time.perf_counter()
     last = None
     for i, (state, res) in enumerate(
-            stream_frames(state, frames, tables, cfg,
+            stream_frames(state, frames, tables, cfg, fetch=fetch,
                           scale_gradient=scale_gradient,
                           subpixel=subpixel)):
         last = res
         if (i + 1) % sync_every == 0:
-            jax.block_until_ready(res.z)
+            # Block on the carried state's depth (always a device
+            # array, regardless of what ``fetch`` returned).
+            jax.block_until_ready(state.z)
             now = time.perf_counter()
             dt = (now - t0) / sync_every
             lat.extend([dt] * sync_every)
             t0 = now
     if last is not None:
-        jax.block_until_ready(last.z)
+        jax.block_until_ready(state.z)
     return state, StreamStats(lat)

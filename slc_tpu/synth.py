@@ -132,6 +132,54 @@ def render_fringe_stack(calib: Calibration, cfg: SystemConfig,
     return imgs, z, pu
 
 
+def render_depth_from_pose(calib: Calibration, cam_h: int, cam_w: int,
+                           rot: np.ndarray, trans: np.ndarray,
+                           spheres=(((0.0, 0.0, 60.0), 20.0),
+                                    ((18.0, -10.0, 70.0), 12.0)),
+                           plane_point=(0.0, 0.0, 80.0),
+                           plane_normal=(0.15, 0.1, -1.0)) -> np.ndarray:
+    """Ray-cast a world-frame scene (spheres over a tilted background
+    plane) from camera pose (rot, trans) = world_from_camera. Returns
+    the (H, W) float64 depth map IN THE CAMERA FRAME (z along the
+    camera axis), 0 where no hit. The default scene has spheres of two
+    sizes and a tilted plane so surface normals span enough directions
+    for 6-DoF registration to be well-posed (a single frontal plane
+    leaves lateral translation unobservable under point-to-plane).
+    Used by the multi-scan fusion tests/benchmarks (no reference
+    equivalent)."""
+    k = np.asarray(calib.cam_k, np.float64)
+    u = (np.arange(cam_w, dtype=np.float64)[None, :] - k[0, 2]) / k[0, 0]
+    v = (np.arange(cam_h, dtype=np.float64)[:, None] - k[1, 2]) / k[1, 1]
+    d_cam = np.stack([np.broadcast_to(u, (cam_h, cam_w)),
+                      np.broadcast_to(v, (cam_h, cam_w)),
+                      np.ones((cam_h, cam_w))], axis=-1)
+    rot = np.asarray(rot, np.float64)
+    trans = np.asarray(trans, np.float64)
+    d_w = d_cam @ rot.T                       # world-frame ray direction
+    o = trans                                 # ray origin (camera center)
+
+    t = np.full((cam_h, cam_w), np.inf)
+    a = np.sum(d_w * d_w, axis=-1)
+    for center, radius in spheres:
+        # |o + t d - c|^2 = r^2 (t in camera-frame depth units since
+        # d_cam_z = 1).
+        oc = o - np.asarray(center, np.float64)
+        b = 2.0 * np.sum(d_w * oc, axis=-1)
+        cc = np.dot(oc, oc) - radius ** 2
+        disc = b * b - 4.0 * a * cc
+        t_s = np.where(disc > 0,
+                       (-b - np.sqrt(np.maximum(disc, 0.0))) / (2.0 * a),
+                       np.inf)
+        t = np.minimum(t, np.where(t_s > 0, t_s, np.inf))
+
+    n = np.asarray(plane_normal, np.float64)
+    p0 = np.asarray(plane_point, np.float64)
+    denom = d_w @ n
+    t_pl = np.where(np.abs(denom) > 1e-12, ((p0 - o) @ n) / denom, np.inf)
+    t = np.minimum(t, np.where(t_pl > 0, t_pl, np.inf))
+    return np.where(np.isfinite(t), t, 0.0)
+
+
 def render_dynamic_sequence(calib: Calibration, cfg: SystemConfig,
                             num_frames: int,
                             z0: float = 50.0, dz_per_frame: float = 0.08,

@@ -78,3 +78,55 @@ def test_fusion_distributed_matches_single(eight_devices, rng):
                                atol=1e-3)
     ate = float(fusion.ate_rmse(rot_d, trans_d, rot_gt, trans_gt))
     assert ate < 0.05, ate
+
+
+def test_register_scans_from_depth_maps(rng):
+    """Projective-association ICP + BA: depth maps ray-cast from 4 known
+    poses of a world sphere+plane scene, initialized with perturbed
+    poses, must converge back to ground truth."""
+    import jax.numpy as jnp
+    from slc_tpu.calib import synthetic_calibration
+    from slc_tpu.synth import render_depth_from_pose
+    from slc_tpu.fusion_frontend import register_scans
+
+    # Wide-FOV rig: a narrow FOV sees only the frontal sphere cap,
+    # which is normal-degenerate (lateral translation unobservable).
+    calib = synthetic_calibration(cam_h=120, cam_w=160, cam_f=130.0)
+    h, w = 120, 160
+    s = 4
+    rot_gt, trans_gt = [], []
+    for i in range(s):
+        a = 0.06 * i
+        r = np.asarray(se3.exp_so3(jnp.asarray([0.0, a, 0.0],
+                                               jnp.float32)), np.float64)
+        t = np.array([2.0 * i, 0.1 * i, -0.5 * i])
+        rot_gt.append(r); trans_gt.append(t)
+    rot_gt = np.stack(rot_gt); trans_gt = np.stack(trans_gt)
+    depths = np.stack([
+        render_depth_from_pose(calib, h, w, rot_gt[i], trans_gt[i])
+        for i in range(s)])
+    assert all((d > 0).mean() > 0.9 for d in depths)
+
+    # Perturb init poses (except scan 0, the gauge anchor).
+    rot0 = rot_gt.copy(); trans0 = trans_gt.copy()
+    for i in range(1, s):
+        dr = np.asarray(se3.exp_so3(jnp.asarray(
+            rng.normal(0, 0.01, 3), jnp.float32)), np.float64)
+        rot0[i] = dr @ rot0[i]
+        trans0[i] = trans0[i] + rng.normal(0, 0.15, 3)
+
+    rot_f, trans_f = register_scans(
+        jnp.asarray(depths, jnp.float32),
+        jnp.asarray(np.asarray(calib.cam_k), jnp.float32),
+        jnp.asarray(rot0, jnp.float32), jnp.asarray(trans0, jnp.float32),
+        rounds=8, gn_iters=5, grid_step=6, max_depth_err=2.0)
+
+    ate0 = float(fusion.ate_rmse(jnp.asarray(rot0, jnp.float32),
+                                 jnp.asarray(trans0, jnp.float32),
+                                 jnp.asarray(rot_gt, jnp.float32),
+                                 jnp.asarray(trans_gt, jnp.float32)))
+    ate = float(fusion.ate_rmse(rot_f, trans_f,
+                                jnp.asarray(rot_gt, jnp.float32),
+                                jnp.asarray(trans_gt, jnp.float32)))
+    assert ate < 0.25 * ate0, (ate0, ate)
+    assert ate < 0.05, ate
