@@ -98,3 +98,12 @@ def gray_lut_table(bits: int) -> np.ndarray:
     replacement for Patterns/vGrayCode.txt (vGrayCode.txt:1-64)."""
     b = np.arange(1 << bits, dtype=np.int64)
     return np.stack([b, b ^ (b >> 1)], axis=1)
+
+
+def write_gray_lut(path: str, bits: int) -> None:
+    """Write the (binary, gray) LUT in the reference's text format
+    (Patterns/vGrayCode.txt:1-64: one "binary gray" pair per line) so
+    generated patterns interoperate with reference tooling."""
+    with open(path, "w") as f:
+        for b, g in gray_lut_table(bits):
+            f.write(f"{b} {g}\n")
