@@ -53,6 +53,9 @@ def main(argv=None) -> int:
     runp.add_argument("--resume", action="store_true")
     runp.add_argument("--reference-semantics", action="store_true",
                       help="disable subpixel tracking + gradient scaling")
+    runp.add_argument("--mode", choices=["gray", "heterodyne", "spatial"],
+                      default="gray",
+                      help="frame-0 absolute decode method")
     _add_cfg_args(runp)
 
     sy = sub.add_parser("synth", help="render a synthetic replay dataset")
@@ -60,6 +63,9 @@ def main(argv=None) -> int:
     sy.add_argument("--frames", type=int, default=8)
     sy.add_argument("--noise", type=float, default=1.0)
     sy.add_argument("--scene", choices=["plane", "sphere"], default="sphere")
+    sy.add_argument("--fringes", action="store_true",
+                    help="also write the multi-frequency fringe stack "
+                         "for --mode heterodyne")
     _add_cfg_args(sy)
 
     sub.add_parser("bench", help="run the repo benchmark")
@@ -87,13 +93,20 @@ def main(argv=None) -> int:
                    else synth.plane_surface(50.0))
         scene = synth.render_static_scene(calib, cfg, surface,
                                           noise_sigma=args.noise)
+        fringes = None
+        if args.fringes:
+            from slc_tpu.config import HeterodyneConfig
+            het = HeterodyneConfig(phase_steps=cfg.phase_steps)
+            fringes, _, _ = synth.render_fringe_stack(
+                calib, cfg, surface, het.periods(cfg.pro_w),
+                het.phase_steps, noise_sigma=args.noise)
         frames = None
         if args.frames:
             frames, _, _ = synth.render_dynamic_sequence(
                 calib, cfg, args.frames, stripe_period=12,
                 noise_sigma=args.noise)
         write_replay_dataset(args.out, scene.gray_images,
-                             scene.phase_images, frames)
+                             scene.phase_images, frames, fringes)
         os.makedirs(args.out, exist_ok=True)
         save_calibration(os.path.join(args.out, "parameters.yml"), calib)
         print(f"wrote dataset to {args.out} "
@@ -108,7 +121,7 @@ def main(argv=None) -> int:
             args.dataset, args.calib, args.out, cfg,
             max_frames=args.max_frames, write_clouds=not args.no_clouds,
             checkpoint_every=args.checkpoint_every, resume=args.resume,
-            scale_gradient=not ref, subpixel=not ref)
+            scale_gradient=not ref, subpixel=not ref, mode=args.mode)
         last = report.metrics.records[-1] if report.metrics.records else {}
         print(f"done: frames={report.frames_done} "
               f"first_frame_points={report.first_frame_points} "

@@ -51,6 +51,13 @@ class ReplayDataset:
         return np.stack([read_bmp(self._iframe_path("vGrayCam", i))
                          for i in range(self.gray_count)])
 
+    def fringe_images(self, count: int) -> np.ndarray:
+        """(count, H, W) uint8 multi-frequency fringe stack — a
+        framework extension of the layout (no reference group) used by
+        the heterodyne and spatial decode modes."""
+        return np.stack([read_bmp(self._iframe_path("vFringeCam", i))
+                         for i in range(count)])
+
     def phase_images(self) -> np.ndarray:
         """(N, H, W) uint8 — group 1 (CSensorV.cpp:77-84)."""
         return np.stack([read_bmp(self._iframe_path("vPhaseCam", i))
@@ -129,15 +136,22 @@ class FaultInjector:
 
 def write_replay_dataset(root: str, gray_images: np.ndarray,
                          phase_images: np.ndarray,
-                         frames: Optional[np.ndarray] = None) -> None:
+                         frames: Optional[np.ndarray] = None,
+                         fringe_images: Optional[np.ndarray] = None
+                         ) -> None:
     """Write image stacks into the reference layout (CSensorV.cpp:35-41),
     creating directories as needed (the role of CStorage's mkdir
-    fallback, CStorage.cpp:41-55)."""
+    fallback, CStorage.cpp:41-55). ``fringe_images`` adds the
+    multi-frequency stack (framework extension)."""
     os.makedirs(os.path.join(root, "iFrame"), exist_ok=True)
     for i, img in enumerate(gray_images):
         write_bmp(os.path.join(root, "iFrame", f"vGrayCam{i}.bmp"), img)
     for i, img in enumerate(phase_images):
         write_bmp(os.path.join(root, "iFrame", f"vPhaseCam{i}.bmp"), img)
+    if fringe_images is not None:
+        for i, img in enumerate(fringe_images):
+            write_bmp(os.path.join(root, "iFrame", f"vFringeCam{i}.bmp"),
+                      img)
     if frames is not None:
         os.makedirs(os.path.join(root, "cFrame"), exist_ok=True)
         for i, img in enumerate(frames):

@@ -25,7 +25,8 @@ from slc_tpu.dynamic import init_tracker, dynamic_step
 from slc_tpu.io.dataset import ReplayDataset
 from slc_tpu.io.opencv_yaml import load_calibration
 from slc_tpu.metrics import MetricsLog, frame_stats, stage
-from slc_tpu.pipeline import decode_first_frame
+from slc_tpu.pipeline import (decode_first_frame, decode_heterodyne_frame,
+                              decode_spatial_frame)
 
 
 @dataclasses.dataclass
@@ -45,8 +46,15 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                subpixel: bool = True,
                fault_drop_prob: float = 0.0,
                fault_corrupt_prob: float = 0.0,
-               fault_seed: int = 0) -> RunReport:
+               fault_seed: int = 0,
+               mode: str = "gray") -> RunReport:
     """Run the full reference pipeline over a replay dataset.
+
+    ``mode`` selects the frame-0 absolute decode: "gray" (the
+    reference's Gray+phase path), "heterodyne" (BASELINE config 2,
+    reads the vFringeCam stack), or "spatial" (config 3: single
+    frequency + quality-guided spatial unwrap of the vPhaseCam stack).
+    The dynamic tracking loop is identical in every mode.
 
     Outputs (mirroring CCalculation::Result's file-per-frame layout,
     CCalculation.cpp:89-93, :193-197, :310-315):
@@ -66,9 +74,22 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
 
     # --- frame 0: absolute decode (CalculateFirst) -------------------
     with stage("slc/first_frame"):
-        first = decode_first_frame(jnp.asarray(ds.gray_images()),
-                                   jnp.asarray(ds.phase_images()),
-                                   tables, cfg)
+        if mode == "gray":
+            first = decode_first_frame(jnp.asarray(ds.gray_images()),
+                                       jnp.asarray(ds.phase_images()),
+                                       tables, cfg)
+        elif mode == "heterodyne":
+            from slc_tpu.config import HeterodyneConfig
+            het = HeterodyneConfig(phase_steps=cfg.phase_steps)
+            first = decode_heterodyne_frame(
+                jnp.asarray(ds.fringe_images(het.num_images)),
+                tables, cfg, het)
+        elif mode == "spatial":
+            first = decode_spatial_frame(
+                jnp.asarray(ds.phase_images()), tables, cfg,
+                float(cfg.phase_period))
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
     n_pts = 0
     if write_clouds:
         n_pts = cloud.write_xyz(os.path.join(out_dir, "iFrame.txt"),
