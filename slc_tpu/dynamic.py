@@ -92,6 +92,26 @@ def dynamic_step(state: TrackerState, frame: jax.Array,
     The state argument is donated: on TPU the new state reuses the old
     buffers, keeping the streaming loop allocation-free.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if use_pallas:
+        # Fully-fused single-HBM-pass kernel (slc_tpu.pallas.dynamic_step).
+        from slc_tpu.pallas.dynamic_step import dynamic_step_pallas
+        scalars = jnp.stack([
+            tables.a.astype(jnp.float32), tables.b.astype(jnp.float32),
+            tables.fx.astype(jnp.float32), tables.fy.astype(jnp.float32),
+            tables.cx.astype(jnp.float32), tables.cy.astype(jnp.float32),
+            jnp.float32(cfg.fov_min), jnp.float32(cfg.fov_max)]
+        ).reshape(1, 8)
+        pu, sw, sb, z, x, y = dynamic_step_pallas(
+            frame, state.strip_w, state.strip_b, state.proj_u,
+            tables.c, tables.d, scalars, window=cfg.reco_window,
+            subpixel=subpixel, scale_gradient=scale_gradient,
+            fov_min=cfg.fov_min, fov_max=cfg.fov_max)
+        new_state = TrackerState(proj_u=pu, strip_w=sw, strip_b=sb, z=z,
+                                 frame_idx=state.frame_idx + 1)
+        return new_state, FrameResult(x=x, y=y, z=z, proj_u=pu)
+
     sw, sb = _stripe(frame, cfg.reco_window, subpixel, use_pallas)
     dp = select_delta_p(state.strip_w, state.strip_b, sw, sb)
     dp = box_blur_3x3(dp)                            # CCalculation.cpp:650

@@ -1,0 +1,249 @@
+"""Fully-fused Pallas dynamic-step kernel.
+
+One kernel per row-block executes the reference's whole per-frame loop
+body (CCalculation::CalculateOther body, CCalculation.cpp:221-316):
+
+  box-sum -> windowed extrema (+ sub-pixel) -> deltaP select -> 3x3
+  blur -> gradient scale -> P integration -> rational triangulation ->
+  back-projection
+
+keeping every intermediate in VMEM. The XLA pipeline materializes each
+stage's full-image arrays in HBM (~4.2 ms at 2 MP); fused, the step
+moves roughly: reads frame (u8) + prev strips/P (3 f32) + tables c,d
+(2 f32), writes P', strips', z, x, y (6 f32) — ~110 MB, a few hundred
+microseconds at v5e HBM bandwidth.
+
+Layout: 1-D grid over row blocks spanning the full (lane-padded) width;
+all row-halo reads come from arrays the wrapper pads by PAD=8 rows so
+every DMA offset stays sublane-aligned. Column neighborhoods use lane
+rolls, identical to the XLA path (slc_tpu.ops.stripe semantics,
+including interior masks in global coordinates).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAD = 8  # row padding so halo DMA offsets stay 8/32-aligned
+
+
+def _extrema(vs, r, subpixel, pad_w):
+    """Windowed extrema + optional sub-pixel refine via lane rolls
+    (slc_tpu.ops.stripe.windowed_extrema_raw semantics)."""
+    def rolled(k):
+        return pltpu.roll(vs, (-k) % pad_w, axis=1)
+
+    best_max = vs
+    best_max_idx = jnp.zeros_like(vs)
+    best_min = vs
+    best_min_idx = jnp.zeros_like(vs)
+    if subpixel:
+        mm = rolled(-1)
+        mp = rolled(1)
+        max_vm, max_vp = mm, mp
+        min_vm, min_vp = mm, mp
+    v_prev = rolled(-r - 1)
+    v = rolled(-r)
+    for k in range(-r, r):
+        v_next = rolled(k + 1)
+        upd_max = v > best_max
+        best_max = jnp.where(upd_max, v, best_max)
+        best_max_idx = jnp.where(upd_max, jnp.float32(k), best_max_idx)
+        upd_min = v < best_min
+        best_min = jnp.where(upd_min, v, best_min)
+        best_min_idx = jnp.where(upd_min, jnp.float32(k), best_min_idx)
+        if subpixel:
+            max_vm = jnp.where(upd_max, v_prev, max_vm)
+            max_vp = jnp.where(upd_max, v_next, max_vp)
+            min_vm = jnp.where(upd_min, v_prev, min_vm)
+            min_vp = jnp.where(upd_min, v_next, min_vp)
+        v_prev, v = v, v_next
+
+    if subpixel:
+        def refine(idx, v0, vm, vp):
+            denom = vm - 2.0 * v0 + vp
+            frac = jnp.where(jnp.abs(denom) > 1e-6,
+                             0.5 * (vm - vp) / denom, 0.0)
+            return idx + jnp.clip(frac, -0.5, 0.5)
+        best_max_idx = refine(best_max_idx, best_max, max_vm, max_vp)
+        best_min_idx = refine(best_min_idx, best_min, min_vm, min_vp)
+    return best_max_idx, best_min_idx
+
+
+def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
+            c_ref, d_ref,
+            pu_out, sw_out, sb_out, z_out, x_out, y_out,
+            f_scr, pw_scr, pb_scr, pu_scr, sem, *,
+            window: int, subpixel: bool, scale_gradient: bool,
+            block_h: int, img_h: int, img_w: int, pad_w: int,
+            f_rows: int, s_rows: int):
+    r = window // 2
+    i = pl.program_id(0)
+    bh = block_h
+
+    # --- DMA all halo reads (frame + previous state) -----------------
+    copies = [
+        pltpu.make_async_copy(
+            frame_hbm.at[pl.ds(i * bh, f_rows), :], f_scr, sem.at[0]),
+        pltpu.make_async_copy(
+            pw_hbm.at[pl.ds(i * bh, s_rows), :], pw_scr, sem.at[1]),
+        pltpu.make_async_copy(
+            pb_hbm.at[pl.ds(i * bh, s_rows), :], pb_scr, sem.at[2]),
+        pltpu.make_async_copy(
+            pu_hbm.at[pl.ds(i * bh, s_rows), :], pu_scr, sem.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    f = f_scr[:].astype(jnp.int32).astype(jnp.float32)
+
+    # --- stripe tracking on rows [i*bh - PAD, i*bh + bh + PAD) -------
+    # (strip row k of this tile = global row i*bh - PAD + k; frame
+    # padded rows start at global -(r + PAD), so frame index k..k+2r.)
+    n_strip = bh + 2 * PAD
+    vs = f[0:n_strip, :]
+    for k in range(1, window):
+        vs = vs + f[k:k + n_strip, :]
+
+    row0 = i * bh - PAD
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (n_strip, pad_w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_strip, pad_w), 1)
+    interior = ((rows >= r) & (rows < img_h - r)
+                & (cols >= r) & (cols < img_w - r))
+    vs = jnp.where(interior, vs, 0.0)
+    sw, sb = _extrema(vs, r, subpixel, pad_w)
+    sw = jnp.where(interior, sw, 0.0)
+    sb = jnp.where(interior, sb, 0.0)
+
+    # --- deltaP select + 3x3 blur (CCalculation.cpp:595-650) ---------
+    d_b = pb_scr[:] - sb
+    d_w = pw_scr[:] - sw
+    dp1 = jnp.where(jnp.abs(d_b) < jnp.abs(d_w), d_b, d_w)
+    # 3x3 mean on the core rows [PAD, PAD + bh): rows via slicing,
+    # cols via lane rolls (wrap touches only interior-masked zeros,
+    # identical to the XLA path).
+    acc = jnp.zeros((bh, pad_w), jnp.float32)
+    for dy in (-1, 0, 1):
+        row_slice = dp1[PAD + dy:PAD + dy + bh, :]
+        acc = acc + row_slice \
+            + pltpu.roll(row_slice, 1, axis=1) \
+            + pltpu.roll(row_slice, pad_w - 1, axis=1)
+    dp = acc * jnp.float32(1.0 / 9.0)
+
+    pu_core = pu_scr[PAD:PAD + bh, :]
+    if scale_gradient:
+        g = 0.5 * (pltpu.roll(pu_core, pad_w - 1, axis=1)
+                   - pltpu.roll(pu_core, 1, axis=1))
+        dp = dp * jnp.clip(g, 0.2, 5.0)
+    pu_new = pu_core + dp                       # CCalculation.cpp:652-660
+
+    # --- triangulation + back-projection (CCalculation.cpp:666-785) --
+    a = scalars[0, 0]
+    b = scalars[0, 1]
+    fx = scalars[0, 2]
+    fy = scalars[0, 3]
+    cx = scalars[0, 4]
+    cy = scalars[0, 5]
+    fov_min = scalars[0, 6]
+    fov_max = scalars[0, 7]
+
+    out_w = pu_out.shape[1]
+    denom = c_ref[:] - d_ref[:] * pu_new[:, :out_w]
+    z = (b * pu_new[:, :out_w] - a) / denom
+    hole = pu_new[:, :out_w] == 0
+    z = jnp.where(hole | (z < fov_min) | (z > fov_max), 0.0, z)
+
+    g_rows = (i * bh
+              + jax.lax.broadcasted_iota(jnp.int32, (bh, out_w), 0)
+              ).astype(jnp.float32)
+    g_cols = jax.lax.broadcasted_iota(jnp.int32, (bh, out_w), 1
+                                      ).astype(jnp.float32)
+    x_out[:] = z * ((g_cols - cx) / fx)
+    y_out[:] = z * ((g_rows - cy) / fy)
+    z_out[:] = z
+    pu_out[:] = pu_new[:, :out_w]
+    sw_out[:] = sw[PAD:PAD + bh, :out_w]
+    sb_out[:] = sb[PAD:PAD + bh, :out_w]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "subpixel", "scale_gradient",
+                                    "fov_min", "fov_max", "block_h",
+                                    "interpret"))
+def dynamic_step_pallas(frame: jax.Array, prev_sw: jax.Array,
+                        prev_sb: jax.Array, prev_pu: jax.Array,
+                        c: jax.Array, d: jax.Array, scalars: jax.Array,
+                        window: int = 21, subpixel: bool = True,
+                        scale_gradient: bool = True,
+                        fov_min: float = 10.0, fov_max: float = 100.0,
+                        block_h: int = 32, interpret: bool = False
+                        ) -> Tuple[jax.Array, ...]:
+    """Fused dynamic step. ``scalars`` is a (1, 8) f32 array
+    [A, B, fx, fy, cx, cy, fov_min, fov_max] (SMEM-prefetched).
+
+    Returns (proj_u', strip_w', strip_b', z, x, y), each (H, W) f32.
+    """
+    r = window // 2
+    h, w = frame.shape
+    pad_w = -(-w // 128) * 128
+    hb = -(-h // block_h) * block_h
+
+    # Strip rows per block: block_h + 2*PAD; frame rows needed:
+    # + 2r more, rounded to the int8 sublane tile (32).
+    f_rows = -(-(block_h + 2 * PAD + 2 * r) // 32) * 32
+    s_rows = block_h + 2 * PAD
+
+    f_pad = jnp.pad(frame, ((r + PAD, f_rows), (0, pad_w - w)))
+    def pad_state(x):
+        return jnp.pad(x.astype(jnp.float32),
+                       ((PAD, PAD + (hb - h) + PAD), (0, pad_w - w)))
+    pw_pad = pad_state(prev_sw)
+    pb_pad = pad_state(prev_sb)
+    pu_pad = pad_state(prev_pu)
+
+    kernel = functools.partial(
+        _kernel, window=window, subpixel=subpixel,
+        scale_gradient=scale_gradient, block_h=block_h, img_h=h,
+        img_w=w, pad_w=pad_w, f_rows=f_rows, s_rows=s_rows)
+
+    # Index maps receive the scalar-prefetch ref as an extra arg.
+    out_spec = pl.BlockSpec((block_h, w), lambda i, s: (i, 0),
+                            memory_space=pltpu.VMEM)
+    blk_spec = pl.BlockSpec((block_h, w), lambda i, s: (i, 0),
+                            memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((h, w), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(hb // block_h,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # frame (padded)
+            pl.BlockSpec(memory_space=pl.ANY),   # prev strip_w
+            pl.BlockSpec(memory_space=pl.ANY),   # prev strip_b
+            pl.BlockSpec(memory_space=pl.ANY),   # prev proj_u
+            blk_spec,                            # tables.c
+            blk_spec,                            # tables.d
+        ],
+        out_specs=(out_spec,) * 6,
+        scratch_shapes=[
+            pltpu.VMEM((f_rows, pad_w), frame.dtype),
+            pltpu.VMEM((s_rows, pad_w), jnp.float32),
+            pltpu.VMEM((s_rows, pad_w), jnp.float32),
+            pltpu.VMEM((s_rows, pad_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(shp,) * 6,
+        interpret=interpret,
+    )(scalars, f_pad, pw_pad, pb_pad, pu_pad, c, d)

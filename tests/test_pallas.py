@@ -19,3 +19,48 @@ def test_pallas_stripe_matches_xla(rng, subpixel, shape):
                                       interpret=True)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), atol=1e-5)
+
+
+def test_pallas_fused_dynamic_step_matches_xla(rng):
+    """The fully-fused dynamic-step kernel must match the composite XLA
+    path on every output (interpreter mode)."""
+    import jax.numpy as jnp
+    from slc_tpu.config import SystemConfig
+    from slc_tpu.calib import synthetic_calibration, build_tables
+    from slc_tpu.dynamic import TrackerState, dynamic_step
+    from slc_tpu.pallas.dynamic_step import dynamic_step_pallas
+
+    h, w = 96, 160
+    cfg = SystemConfig(cam_h=h, cam_w=w, pro_h=h, pro_w=640, gray_bits=5)
+    calib = synthetic_calibration(cam_h=h, cam_w=w, pro_h=h, pro_w=640)
+    tables = build_tables(calib, h, w)
+    frame = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
+    # Prev strips must be interior-masked (zero within window//2 of the
+    # image border) — guaranteed for real tracker state, and the
+    # precondition under which the fused kernel's zero-padded borders
+    # are exactly equivalent to the XLA path's reflect borders.
+    r = cfg.reco_window // 2
+    mask = np.zeros((h, w), np.float32)
+    mask[r:-r, r:-r] = 1.0
+    sw0 = jnp.asarray(rng.uniform(-5, 5, (h, w)) * mask, jnp.float32)
+    sb0 = jnp.asarray(rng.uniform(-5, 5, (h, w)) * mask, jnp.float32)
+    pu0 = jnp.asarray(rng.uniform(100, 500, (h, w)), jnp.float32)
+
+    st = TrackerState(proj_u=jnp.array(pu0), strip_w=jnp.array(sw0),
+                      strip_b=jnp.array(sb0),
+                      z=jnp.zeros((h, w), jnp.float32),
+                      frame_idx=jnp.int32(0))
+    _, ref = dynamic_step(st, frame, tables, cfg, use_pallas=False)
+
+    scalars = jnp.stack([
+        tables.a, tables.b, tables.fx, tables.fy, tables.cx, tables.cy,
+        jnp.float32(cfg.fov_min), jnp.float32(cfg.fov_max)]).reshape(1, 8)
+    pu, sw, sb, z, x, y = dynamic_step_pallas(
+        frame, sw0, sb0, pu0, tables.c, tables.d, scalars,
+        window=cfg.reco_window, block_h=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(pu), np.asarray(ref.proj_u),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref.z),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                               atol=2e-5)
