@@ -1,0 +1,165 @@
+"""Fused Pallas heterodyne decode kernel (BASELINE config 2 hot path).
+
+One kernel executes the whole multi-frequency pipeline —
+
+  N-step phase extraction per frequency (atan2) -> modulation validity
+  -> beat-cascade unwrap -> rational triangulation -> back-projection
+
+— per row block, keeping every intermediate in VMEM. The math is
+identical to the composite XLA path (slc_tpu.ops.phase +
+slc_tpu.ops.unwrap.heterodyne_unwrap + slc_tpu.ops.triangulate, which
+cite the reference semantics: fringe model CDecodePhase.cpp:59-62,
+triangulation CCalculation.cpp:666-785). The XLA pipeline materializes
+~20 full-image f32 intermediates in HBM; fused, the step reads the
+fringe stack (F*N u8) + tables c, d (2 f32) and writes x, y, z, P
+(4 f32) — the HBM-bandwidth speed-of-light for this computation.
+
+Everything is elementwise per pixel, so the grid is a 1-D row-block
+sweep with plain pipelined BlockSpecs — no halos, no manual DMA.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TWO_PI = 2.0 * math.pi
+
+
+def _kernel(scal_ref, img_ref, c_ref, d_ref,
+            x_out, y_out, z_out, pu_out, *,
+            periods: Tuple[float, ...], extent: float, n_steps: int,
+            min_mod_sq: Optional[float], fov_min: float, fov_max: float,
+            block_h: int):
+    n = n_steps
+    fracs = []  # wrapped fractional phase u_f = (x mod T_f) / T_f
+    mod_sq = None
+    for f, period in enumerate(periods):
+        s = None
+        c = None
+        for k in range(n):
+            ck = math.cos(_TWO_PI * k / n)
+            sk = math.sin(_TWO_PI * k / n)
+            if abs(ck) < 1e-12 and abs(sk) < 1e-12:
+                continue
+            img = img_ref[f * n + k].astype(jnp.float32)
+            if abs(ck) >= 1e-12:
+                t = img * jnp.float32(ck * 2.0 / n)
+                s = t if s is None else s + t
+            if abs(sk) >= 1e-12:
+                t = img * jnp.float32(sk * 2.0 / n)
+                c = t if c is None else c + t
+        # atan2 -> wrapped px in (0, T], reference convention
+        # (CDecodePhase.cpp:67-74), as in ops.phase.wrapped_phase_to_pixels.
+        ang = jnp.arctan2(s, c)
+        ang = jnp.where(ang < 0, ang + jnp.float32(_TWO_PI), ang)
+        pix = ang * jnp.float32(period / _TWO_PI) + 0.5
+        pix = jnp.where(pix > period, pix - period, pix)
+        fracs.append(pix * jnp.float32(1.0 / period))
+        if min_mod_sq is not None:
+            m = s * s + c * c
+            mod_sq = m if mod_sq is None else jnp.minimum(mod_sq, m)
+
+    # Beat pyramid (ops.unwrap.heterodyne_unwrap semantics): fractional
+    # beats u_ij = frac(u_i - u_j) with period Ti*Tj/|Tj-Ti|; cascade to
+    # one coarse level, then unwrap back down the left spine.
+    def wrap_delta(a, b):
+        d = a - b
+        return d - jnp.floor(d)
+
+    pyramid = [(list(fracs), list(periods))]
+    while len(pyramid[-1][0]) > 1:
+        lf, lp = pyramid[-1]
+        nf, np_ = [], []
+        for i in range(len(lf) - 1):
+            nf.append(wrap_delta(lf[i], lf[i + 1]))
+            np_.append(lp[i] * lp[i + 1] / abs(lp[i + 1] - lp[i]))
+        pyramid.append((nf, np_))
+
+    x = pyramid[-1][0][0] * jnp.float32(pyramid[-1][1][0])
+    for lf, lp in reversed(pyramid[:-1]):
+        u, p = lf[0], jnp.float32(lp[0])
+        k = jnp.round(x / p - u)
+        x = (k + u) * p
+    e = jnp.float32(extent)
+    pu = x - e * jnp.floor(x / e)
+
+    if min_mod_sq is not None:
+        pu = jnp.where(mod_sq > jnp.float32(min_mod_sq), pu, 0.0)
+
+    # Rational triangulation + FOV mask + back-projection
+    # (CCalculation.cpp:666-785; ops.triangulate semantics).
+    a_s = scal_ref[0, 0]
+    b_s = scal_ref[0, 1]
+    fx = scal_ref[0, 2]
+    fy = scal_ref[0, 3]
+    cx = scal_ref[0, 4]
+    cy = scal_ref[0, 5]
+    denom = c_ref[:] - d_ref[:] * pu
+    z = (b_s * pu - a_s) / denom
+    z = jnp.where((pu == 0) | (z < fov_min) | (z > fov_max), 0.0, z)
+
+    i = pl.program_id(0)
+    bh, bw = z_out.shape
+    g_rows = (i * block_h
+              + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+              ).astype(jnp.float32)
+    g_cols = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1
+                                      ).astype(jnp.float32)
+    x_out[:] = z * ((g_cols - cx) / fx)
+    y_out[:] = z * ((g_rows - cy) / fy)
+    z_out[:] = z
+    pu_out[:] = pu
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("periods", "extent", "n_steps",
+                                    "min_modulation", "fov_min", "fov_max",
+                                    "block_h", "interpret"))
+def heterodyne_decode_pallas(images: jax.Array, c: jax.Array, d: jax.Array,
+                             scalars: jax.Array, *,
+                             periods: Tuple[float, ...], extent: float,
+                             n_steps: int = 4,
+                             min_modulation: Optional[float] = 2.0,
+                             fov_min: float = 10.0, fov_max: float = 100.0,
+                             block_h: int = 64, interpret: bool = False
+                             ) -> Tuple[jax.Array, ...]:
+    """Fused heterodyne decode. ``images`` is (F*n_steps, H, W) uint8,
+    finest frequency first; ``scalars`` is a (1, 8) f32 SMEM array
+    [A, B, fx, fy, cx, cy, 0, 0]. Returns (x, y, z, proj_u)."""
+    nf, h, w = images.shape
+    assert nf == len(periods) * n_steps
+    grid = -(-h // block_h)
+
+    kernel = functools.partial(
+        _kernel, periods=tuple(float(p) for p in periods),
+        extent=float(extent), n_steps=n_steps,
+        min_mod_sq=(None if min_modulation is None
+                    else float(min_modulation) ** 2),
+        fov_min=fov_min, fov_max=fov_max, block_h=block_h)
+
+    blk = pl.BlockSpec((block_h, w), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nf, block_h, w), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            blk, blk,
+        ],
+        out_specs=(blk,) * 4,
+        out_shape=(shp,) * 4,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(scalars, images, c, d)

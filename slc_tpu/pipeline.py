@@ -74,18 +74,40 @@ def decode_first_frame(gray_images: jax.Array, phase_images: jax.Array,
     return FrameResult(x=x, y=y, z=z, proj_u=proj_u)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "het", "min_modulation"))
+@functools.partial(jax.jit, static_argnames=("cfg", "het", "min_modulation",
+                                              "use_pallas"))
 def decode_heterodyne_frame(fringe_images: jax.Array,
                             tables: TriangulationTables,
                             cfg: SystemConfig, het: HeterodyneConfig,
-                            min_modulation: Optional[float] = 2.0
+                            min_modulation: Optional[float] = 2.0,
+                            use_pallas: Optional[bool] = None
                             ) -> FrameResult:
     """Multi-frequency heterodyne absolute decode + triangulation
     (BASELINE config 2): ``het.num_images`` fringe images, no Gray
-    codes."""
+    codes.
+
+    ``use_pallas=None`` auto-selects the fully-fused Pallas kernel
+    (slc_tpu.pallas.heterodyne) on TPU and the composite XLA path
+    elsewhere.
+    """
     n = het.phase_steps
     periods = het.periods(cfg.pro_w)
     assert fringe_images.shape[0] == het.num_images
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if use_pallas:
+        from slc_tpu.pallas.heterodyne import heterodyne_decode_pallas
+        scalars = jnp.stack([
+            tables.a.astype(jnp.float32), tables.b.astype(jnp.float32),
+            tables.fx.astype(jnp.float32), tables.fy.astype(jnp.float32),
+            tables.cx.astype(jnp.float32), tables.cy.astype(jnp.float32),
+            jnp.float32(0.0), jnp.float32(0.0)]).reshape(1, 8)
+        x, y, z, proj_u = heterodyne_decode_pallas(
+            fringe_images, tables.c, tables.d, scalars,
+            periods=periods, extent=float(cfg.pro_w), n_steps=n,
+            min_modulation=min_modulation,
+            fov_min=cfg.fov_min, fov_max=cfg.fov_max)
+        return FrameResult(x=x, y=y, z=z, proj_u=proj_u)
     wrapped = []
     mods = []
     for i, period in enumerate(periods):

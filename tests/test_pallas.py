@@ -64,3 +64,46 @@ def test_pallas_fused_dynamic_step_matches_xla(rng):
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
                                atol=2e-5)
+
+
+def test_pallas_fused_heterodyne_matches_xla(rng):
+    """The fused heterodyne kernel must match the composite XLA path
+    (interpreter mode) on a rendered synthetic scene."""
+    import jax.numpy as jnp
+    from slc_tpu.config import TEST_CONFIG, HeterodyneConfig
+    from slc_tpu.calib import synthetic_calibration, build_tables
+    from slc_tpu import synth
+    from slc_tpu.pipeline import decode_heterodyne_frame
+    from slc_tpu.pallas.heterodyne import heterodyne_decode_pallas
+
+    cfg = TEST_CONFIG
+    het = HeterodyneConfig()
+    calib = synthetic_calibration()
+    tables = build_tables(calib, cfg.cam_h, cfg.cam_w)
+    imgs, _, _ = synth.render_fringe_stack(
+        calib, cfg, synth.sphere_surface(), het.periods(cfg.pro_w),
+        het.phase_steps, noise_sigma=1.0)
+    imgs = jnp.asarray(imgs)
+
+    ref = decode_heterodyne_frame(imgs, tables, cfg, het,
+                                  use_pallas=False)
+    scalars = jnp.stack([
+        tables.a, tables.b, tables.fx, tables.fy, tables.cx, tables.cy,
+        jnp.float32(0.0), jnp.float32(0.0)]).reshape(1, 8)
+    x, y, z, pu = heterodyne_decode_pallas(
+        imgs, tables.c, tables.d, scalars,
+        periods=het.periods(cfg.pro_w), extent=float(cfg.pro_w),
+        n_steps=het.phase_steps, fov_min=cfg.fov_min,
+        fov_max=cfg.fov_max, block_h=32, interpret=True)
+    # fp reassociation can flip the beat-order rounding on a handful of
+    # boundary pixels; require exact agreement on 99.9%+ and tight
+    # tolerance there.
+    dpu = np.abs(np.asarray(pu) - np.asarray(ref.proj_u))
+    assert np.mean(dpu < 1e-2) > 0.999, np.mean(dpu < 1e-2)
+    m = dpu < 1e-2
+    np.testing.assert_allclose(np.asarray(z)[m], np.asarray(ref.z)[m],
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(x)[m], np.asarray(ref.x)[m],
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(y)[m], np.asarray(ref.y)[m],
+                               atol=1e-3)
