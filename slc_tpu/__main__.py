@@ -66,6 +66,10 @@ def main(argv=None) -> int:
     sy.add_argument("--fringes", action="store_true",
                     help="also write the multi-frequency fringe stack "
                          "for --mode heterodyne")
+    sy.add_argument("--anchor-every", type=int, default=0,
+                    help="write absolute re-anchoring pattern groups "
+                         "(aFrame{f}/) every K dynamic frames; requires "
+                         "--scene plane")
     _add_cfg_args(sy)
 
     sub.add_parser("bench", help="run the repo benchmark")
@@ -101,12 +105,26 @@ def main(argv=None) -> int:
                 calib, cfg, surface, het.periods(cfg.pro_w),
                 het.phase_steps, noise_sigma=args.noise)
         frames = None
+        z0, dz = 50.0, 0.08
         if args.frames:
             frames, _, _ = synth.render_dynamic_sequence(
-                calib, cfg, args.frames, stripe_period=12,
-                noise_sigma=args.noise)
+                calib, cfg, args.frames, z0=z0, dz_per_frame=dz,
+                stripe_period=12, noise_sigma=args.noise)
         write_replay_dataset(args.out, scene.gray_images,
                              scene.phase_images, frames, fringes)
+        if args.anchor_every:
+            if args.scene != "plane":
+                raise SystemExit("--anchor-every requires --scene plane "
+                                 "(anchors are rendered at the moving "
+                                 "plane's per-frame position)")
+            from slc_tpu.io.dataset import write_anchor_group
+            for f in range(args.anchor_every, args.frames,
+                           args.anchor_every):
+                asc = synth.render_static_scene(
+                    calib, cfg, synth.plane_surface(z0 + f * dz),
+                    noise_sigma=args.noise, seed=f + 1)
+                write_anchor_group(args.out, f, asc.gray_images,
+                                   asc.phase_images)
         os.makedirs(args.out, exist_ok=True)
         save_calibration(os.path.join(args.out, "parameters.yml"), calib)
         print(f"wrote dataset to {args.out} "

@@ -52,6 +52,26 @@ def init_tracker(frame0: jax.Array, proj_u0: jax.Array, z0: jax.Array,
                         frame_idx=jnp.int32(0))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "subpixel",
+                                             "use_pallas"))
+def reanchor(state: TrackerState, frame: jax.Array,
+             proj_u_abs: jax.Array, z_abs: jax.Array, cfg: SystemConfig,
+             subpixel: bool = True, use_pallas: bool = None
+             ) -> TrackerState:
+    """Periodic absolute re-anchoring (SURVEY.md §5). The integrated
+    map drifts because P[f] = P[f-1] + deltaP accumulates error
+    (CCalculation.cpp:656-660) and the reference never corrects it;
+    when a fresh absolute decode is available (a full pattern group
+    projected mid-sequence), this replaces P and z with it and rebuilds
+    the stripe state from the current fringe frame, preserving the
+    frame counter."""
+    sw, sb = _stripe(frame, cfg.reco_window, subpixel, use_pallas)
+    return TrackerState(proj_u=proj_u_abs.astype(jnp.float32),
+                        strip_w=sw, strip_b=sb,
+                        z=z_abs.astype(jnp.float32),
+                        frame_idx=state.frame_idx)
+
+
 def _stripe(frame: jax.Array, window: int, subpixel: bool,
             use_pallas) -> Tuple[jax.Array, jax.Array]:
     """Select the stripe-tracking backend: the fused Pallas kernel on

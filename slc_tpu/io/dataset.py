@@ -67,6 +67,39 @@ class ReplayDataset:
         """One dynamic frame — group 2 (CSensorV.cpp:85-92)."""
         return read_bmp(self._cframe_path(i))
 
+    # --- anchor groups (framework extension; SURVEY.md §5 re-anchoring) --
+    # ``aFrame{f}/`` holds a full absolute pattern group captured at
+    # dynamic frame f, enabling periodic correction of deltaP-integration
+    # drift (which the reference cannot do: it projects the Gray+phase
+    # set exactly once, CSensorV.cpp:60-92).
+
+    def _aframe_path(self, f: int, kind: str, i: int) -> str:
+        return os.path.join(self.root, f"aFrame{f}", f"{kind}{i}.bmp")
+
+    def anchor_frames(self) -> list:
+        """Sorted dynamic-frame indices that have an anchor group."""
+        out = []
+        if os.path.isdir(self.root):
+            for name in os.listdir(self.root):
+                if name.startswith("aFrame"):
+                    try:
+                        out.append(int(name[len("aFrame"):]))
+                    except ValueError:
+                        pass
+        return sorted(out)
+
+    def anchor_gray_images(self, f: int) -> np.ndarray:
+        return np.stack([read_bmp(self._aframe_path(f, "vGrayCam", i))
+                         for i in range(self.gray_count)])
+
+    def anchor_phase_images(self, f: int) -> np.ndarray:
+        return np.stack([read_bmp(self._aframe_path(f, "vPhaseCam", i))
+                         for i in range(self.phase_count)])
+
+    def anchor_fringe_images(self, f: int, count: int) -> np.ndarray:
+        return np.stack([read_bmp(self._aframe_path(f, "vFringeCam", i))
+                         for i in range(count)])
+
     def frames(self, start: int = 0, prefetch: int = 4
                ) -> Iterator[np.ndarray]:
         """Iterate dynamic frames with background-thread read-ahead so
@@ -156,3 +189,21 @@ def write_replay_dataset(root: str, gray_images: np.ndarray,
         os.makedirs(os.path.join(root, "cFrame"), exist_ok=True)
         for i, img in enumerate(frames):
             write_bmp(os.path.join(root, "cFrame", f"dynaCam{i}.bmp"), img)
+
+
+def write_anchor_group(root: str, frame_idx: int,
+                       gray_images: Optional[np.ndarray] = None,
+                       phase_images: Optional[np.ndarray] = None,
+                       fringe_images: Optional[np.ndarray] = None
+                       ) -> None:
+    """Write an absolute pattern group captured at dynamic frame
+    ``frame_idx`` into ``aFrame{frame_idx}/`` (framework extension for
+    periodic re-anchoring, SURVEY.md §5)."""
+    d = os.path.join(root, f"aFrame{frame_idx}")
+    os.makedirs(d, exist_ok=True)
+    for kind, stack in (("vGrayCam", gray_images),
+                        ("vPhaseCam", phase_images),
+                        ("vFringeCam", fringe_images)):
+        if stack is not None:
+            for i, img in enumerate(stack):
+                write_bmp(os.path.join(d, f"{kind}{i}.bmp"), img)

@@ -21,7 +21,7 @@ from slc_tpu import cloud
 from slc_tpu.calib import Calibration, build_tables
 from slc_tpu.checkpoint import save_state, load_state, latest_checkpoint
 from slc_tpu.config import SystemConfig
-from slc_tpu.dynamic import init_tracker, dynamic_step
+from slc_tpu.dynamic import init_tracker, dynamic_step, reanchor
 from slc_tpu.io.dataset import ReplayDataset
 from slc_tpu.io.opencv_yaml import load_calibration
 from slc_tpu.metrics import MetricsLog, frame_stats, stage
@@ -47,7 +47,8 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                fault_drop_prob: float = 0.0,
                fault_corrupt_prob: float = 0.0,
                fault_seed: int = 0,
-               mode: str = "gray") -> RunReport:
+               mode: str = "gray",
+               use_anchors: bool = True) -> RunReport:
     """Run the full reference pipeline over a replay dataset.
 
     ``mode`` selects the frame-0 absolute decode: "gray" (the
@@ -55,6 +56,13 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
     reads the vFringeCam stack), or "spatial" (config 3: single
     frequency + quality-guided spatial unwrap of the vPhaseCam stack).
     The dynamic tracking loop is identical in every mode.
+
+    If the dataset contains anchor groups (``aFrame{f}/``, written by
+    ``write_anchor_group``) and ``use_anchors`` is set, the tracker is
+    re-anchored at those frames: the frame's output comes from a fresh
+    absolute decode and the integrated P is reset, bounding the drift
+    of P[f] = P[f-1] + deltaP (which the reference never corrects,
+    CCalculation.cpp:656-660).
 
     Outputs (mirroring CCalculation::Result's file-per-frame layout,
     CCalculation.cpp:89-93, :193-197, :310-315):
@@ -126,6 +134,7 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
 
     total = ds.frame_count if max_frames is None \
         else min(ds.frame_count, max_frames)
+    anchor_set = set(ds.anchor_frames()) if use_anchors else set()
     done = start_frame - 1
     for f in range(start_frame, total):
         try:
@@ -135,6 +144,26 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
             # with empty images — CSensorV.cpp:122-129): skip the frame,
             # carry the tracker state, record the fault.
             log.log_frame(f, frame_stats(state.z), fault=str(e))
+            continue
+        if f in anchor_set:
+            # Periodic absolute re-anchoring (SURVEY.md §5): this
+            # frame's output is a fresh absolute decode; the tracker
+            # state is rebuilt from it and the current fringe frame.
+            with stage("slc/reanchor"):
+                res = _decode_anchor(ds, f, tables, cfg, mode)
+                state = reanchor(state, jnp.asarray(frame), res.proj_u,
+                                 res.z, cfg, subpixel)
+                state = dataclasses.replace(state,
+                                            frame_idx=jnp.int32(f))
+            if write_clouds:
+                cloud.write_xyz(os.path.join(out_dir, f"cFrame{f}.txt"),
+                                np.asarray(res.x), np.asarray(res.y),
+                                np.asarray(res.z))
+            log.log_frame(f, frame_stats(res.z), reanchor=True)
+            if checkpoint_every and f % checkpoint_every == 0:
+                os.makedirs(ckpt_dir, exist_ok=True)
+                save_state(os.path.join(ckpt_dir, f"frame_{f}"), state)
+            done = f
             continue
         with stage("slc/dynamic_step"):
             state, res = dynamic_step(state, jnp.asarray(frame), tables,
@@ -151,3 +180,19 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
 
     log.save(os.path.join(out_dir, "metrics.jsonl"))
     return RunReport(done, n_pts, log)
+
+
+def _decode_anchor(ds, f: int, tables, cfg: SystemConfig, mode: str):
+    """Absolute decode of the aFrame{f} pattern group, per mode."""
+    if mode == "gray":
+        return decode_first_frame(jnp.asarray(ds.anchor_gray_images(f)),
+                                  jnp.asarray(ds.anchor_phase_images(f)),
+                                  tables, cfg)
+    if mode == "heterodyne":
+        from slc_tpu.config import HeterodyneConfig
+        het = HeterodyneConfig(phase_steps=cfg.phase_steps)
+        return decode_heterodyne_frame(
+            jnp.asarray(ds.anchor_fringe_images(f, het.num_images)),
+            tables, cfg, het)
+    return decode_spatial_frame(jnp.asarray(ds.anchor_phase_images(f)),
+                                tables, cfg, float(cfg.phase_period))

@@ -111,3 +111,52 @@ def test_pipeline_determinism(tmp_path):
     r2 = decode_first_frame(g, p, tables, CFG)
     np.testing.assert_array_equal(np.asarray(r1.z), np.asarray(r2.z))
     np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+
+
+def test_run_replay_reanchors(tmp_path):
+    """Anchor groups (aFrame{f}/) must reset the integrated P: the
+    anchored frame's output comes from a fresh absolute decode, and
+    tracking continues from it (SURVEY.md §5 drift bounding)."""
+    from slc_tpu.io.dataset import write_anchor_group
+
+    root = str(tmp_path / "ds")
+    out = str(tmp_path / "out")
+    calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
+                                  pro_h=CFG.pro_h, pro_w=CFG.pro_w)
+    z0, dz = 50.0, 0.3
+    scene = synth.render_static_scene(calib, CFG,
+                                      synth.plane_surface(z0),
+                                      noise_sigma=1.0)
+    frames, zs, _ = synth.render_dynamic_sequence(
+        calib, CFG, 6, z0=z0, dz_per_frame=dz, stripe_period=12,
+        noise_sigma=1.0)
+    write_replay_dataset(root, scene.gray_images, scene.phase_images,
+                         frames)
+    # Anchor group at frame 4, rendered at the plane's frame-4 position.
+    asc = synth.render_static_scene(calib, CFG,
+                                    synth.plane_surface(z0 + 4 * dz),
+                                    noise_sigma=1.0, seed=5)
+    write_anchor_group(root, 4, asc.gray_images, asc.phase_images)
+    save_calibration(os.path.join(root, "parameters.yml"), calib)
+
+    report = run_replay(root, os.path.join(root, "parameters.yml"), out,
+                        CFG)
+    assert report.frames_done == 5
+    recs = {r["frame"]: r for r in report.metrics.records}
+    assert recs[4].get("reanchor") is True
+    assert "reanchor" not in recs[3]
+
+    # The anchored frame's cloud is absolute-decode accurate.
+    pts4 = np.loadtxt(os.path.join(out, "cFrame4.txt"))
+    assert np.abs(pts4[:, 2] - (z0 + 4 * dz)).mean() < 0.1
+    # Tracking continues from the anchored state on frame 5.
+    pts5 = np.loadtxt(os.path.join(out, "cFrame5.txt"))
+    good5 = np.abs(pts5[:, 2] - (z0 + 5 * dz)) < 0.5
+    assert good5.mean() > 0.9
+
+    # With anchors disabled the run still works and frame 4 is tracked.
+    out2 = str(tmp_path / "out2")
+    report2 = run_replay(root, os.path.join(root, "parameters.yml"),
+                         out2, CFG, use_anchors=False)
+    recs2 = {r["frame"]: r for r in report2.metrics.records}
+    assert "reanchor" not in recs2[4]
