@@ -12,6 +12,7 @@ Collectives ride ICI within a slice; no hand-written transport.
 """
 
 from slc_tpu.parallel.mesh import tile_mesh, TILE_Y, TILE_X, SCAN
+from slc_tpu.parallel import launch
 from slc_tpu.parallel.halo import halo_exchange, halo_crop
 from slc_tpu.parallel.tiled import (
     tiled_absolute_decode,
@@ -22,7 +23,7 @@ from slc_tpu.parallel.tiled import (
 )
 
 __all__ = [
-    "tile_mesh", "TILE_Y", "TILE_X", "SCAN",
+    "tile_mesh", "TILE_Y", "TILE_X", "SCAN", "launch",
     "halo_exchange", "halo_crop",
     "tiled_absolute_decode", "tiled_stripe_regression",
     "tiled_dynamic_step", "tiled_batched_dynamic_step", "shard_image",
