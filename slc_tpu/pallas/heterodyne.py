@@ -48,7 +48,8 @@ def _kernel(scal_ref, img_ref, c_ref, d_ref,
             sk = math.sin(_TWO_PI * k / n)
             if abs(ck) < 1e-12 and abs(sk) < 1e-12:
                 continue
-            img = img_ref[f * n + k].astype(jnp.float32)
+            # Mosaic has no direct u8->f32 cast; widen to i32 first.
+            img = img_ref[f * n + k].astype(jnp.int32).astype(jnp.float32)
             if abs(ck) >= 1e-12:
                 t = img * jnp.float32(ck * 2.0 / n)
                 s = t if s is None else s + t
