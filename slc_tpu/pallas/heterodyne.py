@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from slc_tpu.pallas.mathx import atan2 as _atan2
+
 _TWO_PI = 2.0 * math.pi
 
 
@@ -58,7 +60,8 @@ def _kernel(scal_ref, img_ref, c_ref, d_ref,
                 c = t if c is None else c + t
         # atan2 -> wrapped px in (0, T], reference convention
         # (CDecodePhase.cpp:67-74), as in ops.phase.wrapped_phase_to_pixels.
-        ang = jnp.arctan2(s, c)
+        # Mosaic has no atan lowering; use the polynomial atan2 (mathx).
+        ang = _atan2(s, c)
         ang = jnp.where(ang < 0, ang + jnp.float32(_TWO_PI), ang)
         pix = ang * jnp.float32(period / _TWO_PI) + 0.5
         pix = jnp.where(pix > period, pix - period, pix)

@@ -1,0 +1,54 @@
+"""Elementwise math helpers for Pallas TPU kernels.
+
+Mosaic (the Pallas TPU compiler) has no lowering for ``atan``/``atan2``
+(as of jax 0.9): kernels that need the phase-extraction arctangent
+(CDecodePhase.cpp:67, which uses OpenCV's cvFastArctan ~0.3-degree LUT)
+must bring their own. :func:`atan2` below is a Cephes-style polynomial
+arctangent — octant range reduction + a degree-7 odd minimax polynomial
+on [0, tan(pi/8)] — built purely from VPU-friendly mul/add/select, with
+~2 ulp f32 accuracy (orders of magnitude tighter than the reference's
+LUT). Also valid outside Pallas; tests compare it against
+``jnp.arctan2`` on CPU.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+_PI = math.pi
+_TAN_PI_8 = math.sqrt(2.0) - 1.0   # tan(pi/8): Cephes atanf split point
+
+
+def _atan_poly(t):
+    """Minimax atan(t) for |t| <= tan(pi/8) (Cephes atanf coefficients)."""
+    z = t * t
+    p = jnp.float32(8.05374449538e-2)
+    p = p * z - jnp.float32(1.38776856032e-1)
+    p = p * z + jnp.float32(1.99777106478e-1)
+    p = p * z - jnp.float32(3.33329491539e-1)
+    return p * z * t + t
+
+
+def atan2(y, x):
+    """Four-quadrant arctangent in [-pi, pi], elementwise, f32.
+
+    Same quadrant conventions as ``jnp.arctan2``; (0, 0) -> 0. Uses the
+    min/max-ratio octant reduction so the polynomial argument stays in
+    [0, 1], then the Cephes tail fold atan(t) = pi/4 + atan((t-1)/(t+1))
+    for t > tan(pi/8).
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    t = mn / jnp.maximum(mx, jnp.float32(1e-30))     # [0, 1]
+    big = t > jnp.float32(_TAN_PI_8)
+    tf = (t - 1.0) / (t + 1.0)                       # fold into (-0.414, 0]
+    r = jnp.where(big, jnp.float32(0.25 * _PI) + _atan_poly(tf),
+                  _atan_poly(t))
+    r = jnp.where(ay > ax, jnp.float32(0.5 * _PI) - r, r)
+    r = jnp.where(x < 0, jnp.float32(_PI) - r, r)
+    r = jnp.where(mx == 0, jnp.float32(0.0), r)      # atan2(0, 0) = 0
+    return jnp.where(y < 0, -r, r)

@@ -54,21 +54,43 @@ def absolute_projector_map(gray_images: jax.Array, phase_images: jax.Array,
                                cfg.phase_period)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "min_modulation"))
+@functools.partial(jax.jit, static_argnames=("cfg", "min_modulation",
+                                              "use_pallas"))
 def decode_first_frame(gray_images: jax.Array, phase_images: jax.Array,
                        tables: TriangulationTables, cfg: SystemConfig,
-                       min_modulation: Optional[float] = None
-                       ) -> FrameResult:
+                       min_modulation: Optional[float] = None,
+                       use_pallas: Optional[bool] = None) -> FrameResult:
     """Frame-0 absolute decode + triangulation
     (CCalculation::CalculateFirst, CCalculation.cpp:171-206).
 
     ``min_modulation`` optionally enables the fringe-modulation validity
     mask (framework improvement over the reference's P==0 hole rule).
+    ``use_pallas=None`` auto-selects the fully-fused Pallas kernel
+    (slc_tpu.pallas.grayphase) on TPU and the composite XLA path
+    elsewhere.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if use_pallas:
+        from slc_tpu.pallas.grayphase import grayphase_decode_pallas
+        scalars = jnp.stack([
+            tables.a.astype(jnp.float32), tables.b.astype(jnp.float32),
+            tables.fx.astype(jnp.float32), tables.fy.astype(jnp.float32),
+            tables.cx.astype(jnp.float32), tables.cy.astype(jnp.float32),
+            jnp.float32(0.0), jnp.float32(0.0)]).reshape(1, 8)
+        images = jnp.concatenate([gray_images, phase_images], axis=0)
+        x, y, z, proj_u = grayphase_decode_pallas(
+            images, tables.c, tables.d, scalars,
+            gray_bits=cfg.gray_bits, gray_period=float(cfg.gray_period),
+            phase_period=float(cfg.phase_period), n_steps=cfg.phase_steps,
+            min_modulation=min_modulation,
+            fov_min=cfg.fov_min, fov_max=cfg.fov_max)
+        return FrameResult(x=x, y=y, z=z, proj_u=proj_u)
     proj_u = absolute_projector_map(gray_images, phase_images, cfg)
     valid = None
     if min_modulation is not None:
         valid = modulation(phase_images) > min_modulation
+        proj_u = jnp.where(valid, proj_u, 0.0)
     x, y, z = triangulate_xyz(proj_u, tables, cfg.fov_min, cfg.fov_max,
                               valid)
     return FrameResult(x=x, y=y, z=z, proj_u=proj_u)
