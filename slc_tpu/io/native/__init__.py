@@ -22,13 +22,17 @@ _tried = False
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
+    # The library is built on (and only ever runs on) this host, so
+    # -march=native is safe; retry portably if the flag is rejected.
+    for flags in (["-O3", "-march=native"], ["-O3"]):
+        try:
+            subprocess.run(
+                ["g++", *flags, "-shared", "-fPIC", _SRC, "-o", _SO],
+                check=True, capture_output=True, timeout=120)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def lib() -> Optional[ctypes.CDLL]:

@@ -42,10 +42,28 @@ def frame_stats(z: jax.Array, dp: Optional[jax.Array] = None
 
 @dataclasses.dataclass
 class MetricsLog:
-    """Accumulates per-frame records; writes JSON-lines."""
+    """Accumulates per-frame records; writes JSON-lines.
+
+    Stage timings recorded via :func:`stage` between two ``log_frame``
+    calls are folded into the next frame's record as
+    ``t_<stage>_ms`` (and ``gbps_<stage>`` when bytes-moved is known),
+    so a replay run's metrics.jsonl shows decode/track/write wall-clock
+    per frame — the per-stage observability SURVEY.md §5 commits to.
+    """
 
     records: List[dict] = dataclasses.field(default_factory=list)
     _t_last: Optional[float] = None
+    _pending_stages: Dict[str, dict] = dataclasses.field(
+        default_factory=dict)
+
+    def log_stage(self, name: str, wall_s: float,
+                  bytes_moved: Optional[int] = None) -> None:
+        """Record one stage timing, attached to the next log_frame."""
+        short = name.rsplit("/", 1)[-1]
+        entry = {f"t_{short}_ms": round(wall_s * 1e3, 3)}
+        if bytes_moved is not None and wall_s > 0:
+            entry[f"gbps_{short}"] = round(bytes_moved / wall_s / 1e9, 2)
+        self._pending_stages.update(entry)
 
     def log_frame(self, frame_idx: int, stats: Dict[str, jax.Array],
                   **extra) -> dict:
@@ -55,7 +73,9 @@ class MetricsLog:
         self._t_last = now
         rec = {"frame": int(frame_idx),
                **{k: float(np.asarray(v)) for k, v in stats.items()},
+               **self._pending_stages,
                **extra}
+        self._pending_stages = {}
         if fps is not None:
             rec["fps"] = round(fps, 2)
         self.records.append(rec)
@@ -68,12 +88,22 @@ class MetricsLog:
 
 
 @contextlib.contextmanager
-def stage(name: str):
-    """Profiler trace annotation (shows up in xprof) + wall-clock."""
+def stage(name: str, log: Optional[MetricsLog] = None,
+          bytes_moved: Optional[int] = None):
+    """Profiler trace annotation (shows up in xprof) + wall-clock.
+
+    With ``log``, the block's wall time (and achieved GB/s if
+    ``bytes_moved`` is given) lands in the log's next frame record.
+    JAX dispatch is asynchronous — block inside the ``with`` body
+    (e.g. ``jax.block_until_ready``) for the time to mean device time
+    rather than enqueue time.
+    """
     with jax.profiler.TraceAnnotation(name):
         t0 = time.perf_counter()
         yield
-    _ = time.perf_counter() - t0
+        wall = time.perf_counter() - t0
+    if log is not None:
+        log.log_stage(name, wall, bytes_moved)
 
 
 @contextlib.contextmanager

@@ -135,6 +135,11 @@ def grayphase_decode_pallas(images: jax.Array, c: jax.Array, d: jax.Array,
     pairs first, then the phase-shift fringes; ``scalars`` is a (1, 8)
     f32 SMEM array [A, B, fx, fy, cx, cy, 0, 0]. Returns
     (x, y, z, proj_u)."""
+    if n_steps < 3:
+        # With n < 3 every sin(2*pi*k/n) term vanishes and the sine
+        # accumulator would stay None (trace-time crash in _atan2);
+        # 3 is also the information-theoretic minimum for phase shifting.
+        raise ValueError(f"n_steps must be >= 3, got {n_steps}")
     nf, h, w = images.shape
     assert nf == 2 * gray_bits + n_steps, (nf, gray_bits, n_steps)
     grid = -(-h // block_h)

@@ -137,6 +137,10 @@ def heterodyne_decode_pallas(images: jax.Array, c: jax.Array, d: jax.Array,
     """Fused heterodyne decode. ``images`` is (F*n_steps, H, W) uint8,
     finest frequency first; ``scalars`` is a (1, 8) f32 SMEM array
     [A, B, fx, fy, cx, cy, 0, 0]. Returns (x, y, z, proj_u)."""
+    if n_steps < 3:
+        # n < 3 leaves the sine accumulator empty (every sin(2*pi*k/n)
+        # is ~0) and is under-determined for phase shifting anyway.
+        raise ValueError(f"n_steps must be >= 3, got {n_steps}")
     nf, h, w = images.shape
     assert nf == len(periods) * n_steps
     grid = -(-h // block_h)

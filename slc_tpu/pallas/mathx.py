@@ -38,6 +38,12 @@ def atan2(y, x):
     min/max-ratio octant reduction so the polynomial argument stays in
     [0, 1], then the Cephes tail fold atan(t) = pi/4 + atan((t-1)/(t+1))
     for t > tan(pi/8).
+
+    Magnitude floor: the ratio clamps its denominator at 1e-30, so when
+    both |x| and |y| are below ~1e-30 (f32 subnormal territory) the
+    angle collapses toward 0 instead of the true direction. Fringe sums
+    derived from uint8 images are >= 1 whenever nonzero, far above the
+    floor; callers feeding near-subnormal data should rescale first.
     """
     ax = jnp.abs(x)
     ay = jnp.abs(y)

@@ -65,6 +65,9 @@ def decode_first_frame(gray_images: jax.Array, phase_images: jax.Array,
 
     ``min_modulation`` optionally enables the fringe-modulation validity
     mask (framework improvement over the reference's P==0 hole rule).
+    Since round 1 the mask zeroes ``proj_u`` as well as z (previously
+    only z), matching the heterodyne path and the fused kernel: masked
+    pixels read as holes (P==0) to every downstream consumer.
     ``use_pallas=None`` auto-selects the fully-fused Pallas kernel
     (slc_tpu.pallas.grayphase) on TPU and the composite XLA path
     elsewhere.

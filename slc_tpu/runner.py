@@ -14,6 +14,7 @@ import dataclasses
 import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,7 +82,7 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
     log = MetricsLog()
 
     # --- frame 0: absolute decode (CalculateFirst) -------------------
-    with stage("slc/first_frame"):
+    with stage("slc/first_frame", log):
         if mode == "gray":
             first = decode_first_frame(jnp.asarray(ds.gray_images()),
                                        jnp.asarray(ds.phase_images()),
@@ -98,11 +99,13 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                 float(cfg.phase_period))
         else:
             raise ValueError(f"unknown mode {mode!r}")
+        jax.block_until_ready(first.z)
     n_pts = 0
     if write_clouds:
-        n_pts = cloud.write_xyz(os.path.join(out_dir, "iFrame.txt"),
-                                np.asarray(first.x), np.asarray(first.y),
-                                np.asarray(first.z))
+        with stage("slc/write", log):
+            n_pts = cloud.write_xyz(os.path.join(out_dir, "iFrame.txt"),
+                                    np.asarray(first.x), np.asarray(first.y),
+                                    np.asarray(first.z))
     log.log_frame(0, frame_stats(first.z))
 
     # --- dynamic loop (CalculateOther) -------------------------------
@@ -149,7 +152,7 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
             # Periodic absolute re-anchoring (SURVEY.md §5): this
             # frame's output is a fresh absolute decode; the tracker
             # state is rebuilt from it and the current fringe frame.
-            with stage("slc/reanchor"):
+            with stage("slc/reanchor", log):
                 res = _decode_anchor(ds, f, tables, cfg, mode)
                 state = reanchor(state, jnp.asarray(frame), res.proj_u,
                                  res.z, cfg, subpixel)
@@ -165,13 +168,15 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                 save_state(os.path.join(ckpt_dir, f"frame_{f}"), state)
             done = f
             continue
-        with stage("slc/dynamic_step"):
+        with stage("slc/dynamic_step", log):
             state, res = dynamic_step(state, jnp.asarray(frame), tables,
                                       cfg, scale_gradient, subpixel)
+            jax.block_until_ready(res.z)
         if write_clouds:
-            cloud.write_xyz(os.path.join(out_dir, f"cFrame{f}.txt"),
-                            np.asarray(res.x), np.asarray(res.y),
-                            np.asarray(res.z))
+            with stage("slc/write", log):
+                cloud.write_xyz(os.path.join(out_dir, f"cFrame{f}.txt"),
+                                np.asarray(res.x), np.asarray(res.y),
+                                np.asarray(res.z))
         log.log_frame(f, frame_stats(res.z))
         if checkpoint_every and f % checkpoint_every == 0:
             os.makedirs(ckpt_dir, exist_ok=True)
