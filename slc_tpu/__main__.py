@@ -20,10 +20,7 @@ def _add_cfg_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--phase-steps", type=int, default=None)
 
 
-def _build_cfg(args):
-    import dataclasses
-    from slc_tpu.config import REFERENCE_CONFIG
-    cfg = REFERENCE_CONFIG
+def _explicit_cfg_updates(args) -> dict:
     updates = {}
     if args.cam:
         h, w = (int(v) for v in args.cam.split("x"))
@@ -35,7 +32,30 @@ def _build_cfg(args):
         updates.update(gray_bits=args.gray_bits)
     if args.phase_steps is not None:
         updates.update(phase_steps=args.phase_steps)
-    return dataclasses.replace(cfg, **updates) if updates else cfg
+    return updates
+
+
+def _build_cfg(args, manifest=None):
+    """REFERENCE_CONFIG <- dataset manifest <- explicit flags, with a
+    clear error when a flag contradicts what the dataset records."""
+    import dataclasses
+    from slc_tpu.config import REFERENCE_CONFIG
+    from_manifest = {}
+    if manifest:
+        for key in ("cam_h", "cam_w", "pro_h", "pro_w", "gray_bits",
+                    "phase_steps"):
+            if manifest.get(key) is not None:
+                from_manifest[key] = manifest[key]
+    explicit = _explicit_cfg_updates(args)
+    for k, v in explicit.items():
+        if k in from_manifest and from_manifest[k] != v:
+            raise SystemExit(
+                f"--{k.replace('_', '-')}={v} conflicts with the dataset "
+                f"manifest ({k}={from_manifest[k]}); drop the flag or "
+                f"regenerate the dataset")
+    updates = {**from_manifest, **explicit}
+    return (dataclasses.replace(REFERENCE_CONFIG, **updates)
+            if updates else REFERENCE_CONFIG)
 
 
 def main(argv=None) -> int:
@@ -82,7 +102,11 @@ def main(argv=None) -> int:
         bench.main()
         return 0
 
-    cfg = _build_cfg(args)
+    manifest = None
+    if args.cmd == "run":
+        from slc_tpu.io.dataset import load_manifest
+        manifest = load_manifest(args.dataset)
+    cfg = _build_cfg(args, manifest)
 
     if args.cmd == "synth":
         import numpy as np
@@ -111,7 +135,15 @@ def main(argv=None) -> int:
                 calib, cfg, args.frames, z0=z0, dz_per_frame=dz,
                 stripe_period=12, noise_sigma=args.noise)
         write_replay_dataset(args.out, scene.gray_images,
-                             scene.phase_images, frames, fringes)
+                             scene.phase_images, frames, fringes,
+                             config_fields={
+                                 "pro_h": cfg.pro_h, "pro_w": cfg.pro_w,
+                                 "gray_bits": cfg.gray_bits,
+                                 "phase_steps": cfg.phase_steps,
+                                 "scene": args.scene,
+                                 "noise_sigma": args.noise,
+                                 "anchor_every": args.anchor_every,
+                             })
         if args.anchor_every:
             if args.scene != "plane":
                 raise SystemExit("--anchor-every requires --scene plane "

@@ -16,6 +16,7 @@ framework a self-contained generator of reference-format data.
 
 from __future__ import annotations
 
+import json
 import os
 import queue
 import threading
@@ -25,20 +26,63 @@ import numpy as np
 
 from slc_tpu.io.bmp import read_bmp, write_bmp
 
+MANIFEST_NAME = "manifest.json"
+
+
+def load_manifest(root: str) -> Optional[dict]:
+    """Read ``<root>/manifest.json`` if present (framework extension —
+    the reference encodes dataset shape in compile-time constants,
+    StaticParameters.cpp:16-18, and dies on mismatch)."""
+    path = os.path.join(root, MANIFEST_NAME)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def write_manifest(root: str, manifest: dict) -> None:
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+
 
 class ReplayDataset:
-    """Reader for a reference-layout BMP dataset (CSensorV.cpp:35-41)."""
+    """Reader for a reference-layout BMP dataset (CSensorV.cpp:35-41).
 
-    def __init__(self, root: str, gray_count: int = 12,
-                 phase_count: int = 4, frame_count: Optional[int] = None):
+    ``gray_count``/``phase_count`` left as None are taken from the
+    dataset's ``manifest.json`` when it exists (falling back to the
+    reference's 12/4, CSensorV.cpp:72,80); explicit values that
+    contradict the manifest raise immediately with a clear message
+    instead of a missing-file error deep in the decode."""
+
+    def __init__(self, root: str, gray_count: Optional[int] = None,
+                 phase_count: Optional[int] = None,
+                 frame_count: Optional[int] = None):
         self.root = root
-        self.gray_count = gray_count
-        self.phase_count = phase_count
+        self.manifest = load_manifest(root)
+        self.gray_count = self._resolve("gray_count", gray_count, 12)
+        self.phase_count = self._resolve("phase_count", phase_count, 4)
+        if frame_count is None:
+            frame_count = self._from_manifest("frame_count")
         if frame_count is None:
             frame_count = 0
             while os.path.exists(self._cframe_path(frame_count)):
                 frame_count += 1
         self.frame_count = frame_count
+
+    def _from_manifest(self, key: str):
+        return (self.manifest or {}).get(key)
+
+    def _resolve(self, key: str, explicit, default):
+        recorded = self._from_manifest(key)
+        if explicit is None:
+            return recorded if recorded is not None else default
+        if recorded is not None and explicit != recorded:
+            raise ValueError(
+                f"{key}={explicit} conflicts with the dataset manifest "
+                f"({self.root}/{MANIFEST_NAME} records {key}={recorded}); "
+                f"drop the explicit value or regenerate the dataset")
+        return explicit
 
     def _iframe_path(self, kind: str, i: int) -> str:
         return os.path.join(self.root, "iFrame", f"{kind}{i}.bmp")
@@ -170,12 +214,17 @@ class FaultInjector:
 def write_replay_dataset(root: str, gray_images: np.ndarray,
                          phase_images: np.ndarray,
                          frames: Optional[np.ndarray] = None,
-                         fringe_images: Optional[np.ndarray] = None
-                         ) -> None:
+                         fringe_images: Optional[np.ndarray] = None,
+                         config_fields: Optional[dict] = None) -> None:
     """Write image stacks into the reference layout (CSensorV.cpp:35-41),
     creating directories as needed (the role of CStorage's mkdir
     fallback, CStorage.cpp:41-55). ``fringe_images`` adds the
-    multi-frequency stack (framework extension)."""
+    multi-frequency stack (framework extension).
+
+    Also writes ``manifest.json`` recording the stack shapes (plus any
+    ``config_fields``, e.g. gray_bits/phase_steps/resolutions), so
+    readers can self-configure instead of relying on matching
+    compile-time constants like the reference (StaticParameters.cpp)."""
     os.makedirs(os.path.join(root, "iFrame"), exist_ok=True)
     for i, img in enumerate(gray_images):
         write_bmp(os.path.join(root, "iFrame", f"vGrayCam{i}.bmp"), img)
@@ -189,6 +238,17 @@ def write_replay_dataset(root: str, gray_images: np.ndarray,
         os.makedirs(os.path.join(root, "cFrame"), exist_ok=True)
         for i, img in enumerate(frames):
             write_bmp(os.path.join(root, "cFrame", f"dynaCam{i}.bmp"), img)
+    manifest = {
+        "gray_count": int(len(gray_images)),
+        "phase_count": int(len(phase_images)),
+        "fringe_count": (0 if fringe_images is None
+                         else int(len(fringe_images))),
+        "frame_count": 0 if frames is None else int(len(frames)),
+        "cam_h": int(gray_images.shape[1]),
+        "cam_w": int(gray_images.shape[2]),
+        **(config_fields or {}),
+    }
+    write_manifest(root, manifest)
 
 
 def write_anchor_group(root: str, frame_idx: int,
