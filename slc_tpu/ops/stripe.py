@@ -158,13 +158,26 @@ def stripe_regression(frame: jax.Array, window: int, subpixel: bool = False
     return windowed_extrema(val_sum, window, subpixel)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("robust",))
 def select_delta_p(strip_w_prev: jax.Array, strip_b_prev: jax.Array,
-                   strip_w_cur: jax.Array, strip_b_cur: jax.Array
-                   ) -> jax.Array:
+                   strip_w_cur: jax.Array, strip_b_cur: jax.Array,
+                   robust: bool = False) -> jax.Array:
     """Delta-P selection (CCalculation.cpp:595-646): use whichever stripe
     family (bright or dark) moved less: if |dB| < |dW| take dB else dW,
-    where dX = prev - cur."""
+    where dX = prev - cur.
+
+    ``robust`` (framework improvement): the min-|d| rule rectifies the
+    sub-pixel estimators' opposite-phase oscillation toward zero — a
+    measured ~9% systematic underestimation of per-frame motion even on
+    noiseless data, which integrates into drift over the 100-frame
+    sequence. When the two families agree (|dB - dW| <= 1 px) their
+    *mean* cancels that oscillation instead; where they disagree (one
+    family occluded / border-locked) fall back to the reference rule.
+    """
     d_b = strip_b_prev - strip_b_cur
     d_w = strip_w_prev - strip_w_cur
-    return jnp.where(jnp.abs(d_b) < jnp.abs(d_w), d_b, d_w)
+    min_abs = jnp.where(jnp.abs(d_b) < jnp.abs(d_w), d_b, d_w)
+    if not robust:
+        return min_abs
+    agree = jnp.abs(d_b - d_w) <= 1.0
+    return jnp.where(agree, 0.5 * (d_b + d_w), min_abs)

@@ -81,8 +81,8 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
             pu_out, sw_out, sb_out, z_out, x_out, y_out,
             f_scr, pw_scr, pb_scr, pu_scr, sem, *,
             window: int, subpixel: bool, scale_gradient: bool,
-            block_h: int, img_h: int, img_w: int, pad_w: int,
-            f_rows: int, s_rows: int):
+            robust: bool, block_h: int, img_h: int, img_w: int,
+            pad_w: int, f_rows: int, s_rows: int):
     r = window // 2
     i = pl.program_id(0)
     bh = block_h
@@ -127,6 +127,11 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
     d_b = pb_scr[:] - sb
     d_w = pw_scr[:] - sw
     dp1 = jnp.where(jnp.abs(d_b) < jnp.abs(d_w), d_b, d_w)
+    if robust:
+        # Mean-combine where the two stripe families agree — cancels
+        # the min-|d| rectification bias (ops/stripe.select_delta_p).
+        agree = jnp.abs(d_b - d_w) <= 1.0
+        dp1 = jnp.where(agree, 0.5 * (d_b + d_w), dp1)
     # 3x3 mean on the core rows [PAD, PAD + bh): rows via slicing,
     # cols via lane rolls (wrap touches only interior-masked zeros,
     # identical to the XLA path).
@@ -176,13 +181,13 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
 
 @functools.partial(jax.jit,
                    static_argnames=("window", "subpixel", "scale_gradient",
-                                    "fov_min", "fov_max", "block_h",
-                                    "interpret"))
+                                    "robust", "fov_min", "fov_max",
+                                    "block_h", "interpret"))
 def dynamic_step_pallas(frame: jax.Array, prev_sw: jax.Array,
                         prev_sb: jax.Array, prev_pu: jax.Array,
                         c: jax.Array, d: jax.Array, scalars: jax.Array,
                         window: int = 21, subpixel: bool = True,
-                        scale_gradient: bool = True,
+                        scale_gradient: bool = True, robust: bool = True,
                         fov_min: float = 10.0, fov_max: float = 100.0,
                         block_h: int = 32, interpret: bool = False
                         ) -> Tuple[jax.Array, ...]:
@@ -211,8 +216,8 @@ def dynamic_step_pallas(frame: jax.Array, prev_sw: jax.Array,
 
     kernel = functools.partial(
         _kernel, window=window, subpixel=subpixel,
-        scale_gradient=scale_gradient, block_h=block_h, img_h=h,
-        img_w=w, pad_w=pad_w, f_rows=f_rows, s_rows=s_rows)
+        scale_gradient=scale_gradient, robust=robust, block_h=block_h,
+        img_h=h, img_w=w, pad_w=pad_w, f_rows=f_rows, s_rows=s_rows)
 
     # Index maps receive the scalar-prefetch ref as an extra arg.
     out_spec = pl.BlockSpec((block_h, w), lambda i, s: (i, 0),

@@ -146,12 +146,12 @@ def tiled_stripe_regression(frame: jax.Array, cfg: SystemConfig, mesh,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "mesh", "scale_gradient",
-                                    "subpixel"),
+                                    "subpixel", "robust"),
                    donate_argnames=("state",))
 def tiled_dynamic_step(state: TrackerState, frame: jax.Array,
                        tables: TriangulationTables, cfg: SystemConfig,
                        mesh, scale_gradient: bool = True,
-                       subpixel: bool = True
+                       subpixel: bool = True, robust: bool = True
                        ) -> Tuple[TrackerState, FrameResult]:
     """Tile-parallel dynamic frame update (CCalculation.cpp:221-316),
     numerically identical to slc_tpu.dynamic.dynamic_step: the stripe
@@ -169,7 +169,7 @@ def tiled_dynamic_step(state: TrackerState, frame: jax.Array,
                                            cfg.cam_h, cfg.cam_w, extend=1)
         pw1 = halo_exchange(st.strip_w, 1, 1)
         pb1 = halo_exchange(st.strip_b, 1, 1)
-        dp1 = select_delta_p(pw1, pb1, sw1, sb1)
+        dp1 = select_delta_p(pw1, pb1, sw1, sb1, robust=robust)
         dp = halo_crop(box_blur_3x3(dp1), 1, 1)      # CCalculation.cpp:650
         if scale_gradient:
             pue = halo_exchange(st.proj_u, 0, 1)
@@ -191,13 +191,14 @@ def tiled_dynamic_step(state: TrackerState, frame: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "mesh", "scale_gradient",
-                                    "subpixel"),
+                                    "subpixel", "robust"),
                    donate_argnames=("states",))
 def tiled_batched_dynamic_step(states: TrackerState, frames: jax.Array,
                                tables: TriangulationTables,
                                cfg: SystemConfig, mesh,
                                scale_gradient: bool = True,
-                               subpixel: bool = True):
+                               subpixel: bool = True,
+                               robust: bool = True):
     """Data parallelism over independent scans x image-tile parallelism:
     the full multi-chip step (SURVEY.md §2 parallelism table — DP over
     the scan axis rides DCN across hosts; the tile axes ride ICI).
@@ -221,7 +222,7 @@ def tiled_batched_dynamic_step(states: TrackerState, frames: jax.Array,
                                            extend=1)
         pw1 = halo_exchange(st1.strip_w, 1, 1)
         pb1 = halo_exchange(st1.strip_b, 1, 1)
-        dp1 = select_delta_p(pw1, pb1, sw1, sb1)
+        dp1 = select_delta_p(pw1, pb1, sw1, sb1, robust=robust)
         dp = halo_crop(box_blur_3x3(dp1), 1, 1)
         if scale_gradient:
             pue = halo_exchange(st1.proj_u, 0, 1)
