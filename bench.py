@@ -1,70 +1,342 @@
-"""Headline benchmark: 2 MP phase-to-depth throughput on one chip.
+"""Benchmark suite: every BASELINE.md config as a machine-readable line.
 
-Measures the full BASELINE config-2 pipeline — 3-frequency x 4-step
-heterodyne decode (12 fringe images) -> beat-cascade unwrap ->
-modulation mask -> rational triangulation + back-projection — at
-1632x1216 (~2.0 MP), and prints ONE JSON line:
+Prints one JSON line per metric. The FIRST line is the headline —
+BASELINE config 2, 2 MP phase-to-depth throughput on one chip:
 
     {"metric": "phase_to_depth_fps_2mp", "value": ..., "unit": "fps",
      "vs_baseline": ...}
 
-vs_baseline is fps / 60 (the north-star >=60 fps target,
-BASELINE.md; the reference publishes no numbers of its own).
+followed by configs 1, 3, 4, 5 and per-kernel roofline lines (TPU
+only). ``vs_baseline`` is achieved/target oriented so that >1.0 always
+means "beats the target" (fps/60 for throughput targets, target/value
+for error and latency metrics); null where BASELINE.md names no number.
+
+The reference publishes no numbers of its own (BASELINE.md); targets
+are the north-star rows of BASELINE.json.
+
+Usage: python bench.py            # all configs
+       python bench.py --parity-worker   # internal: CPU-mesh parity
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 # Persistent compilation cache: TPU compiles here are remote and slow
 # (minutes); cache them across processes.
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      ".jax_cache")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_CACHE = os.path.join(_HERE, ".jax_cache")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# HBM peak for the roofline denominator (v5e = 819 GB/s); override for
+# other parts via the environment.
+HBM_PEAK_GBPS = float(os.environ.get("SLC_HBM_PEAK_GBPS", "819.0"))
 
-def main() -> None:
-    from slc_tpu.config import SystemConfig, HeterodyneConfig
+H2MP, W2MP = 1216, 1632               # ~2.0 MP, lane/sublane aligned
+
+
+def emit(metric, value, unit, vs_baseline=None, **extra):
+    rec = {"metric": metric, "value": value, "unit": unit,
+           "vs_baseline": vs_baseline}
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def _timeit(fn, *args, n=30, repeats=3):
+    """Steady-state seconds per call: best of ``repeats`` batches of
+    ``n`` calls (compile + 1 warm-up excluded). The TPU here is reached
+    through a tunnel whose latency spikes can double a single batch;
+    min-of-batches reports the hardware, not the network."""
+    jax.block_until_ready(fn(*args))
+    jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
+def _rig_2mp():
+    from slc_tpu.config import SystemConfig
     from slc_tpu.calib import synthetic_calibration, build_tables
+    cfg = SystemConfig(cam_h=H2MP, cam_w=W2MP, pro_h=H2MP, pro_w=W2MP)
+    calib = synthetic_calibration(cam_h=H2MP, cam_w=W2MP,
+                                  pro_h=H2MP, pro_w=W2MP)
+    return cfg, calib, build_tables(calib, H2MP, W2MP)
+
+
+def bench_config2_headline():
+    """2 MP 3-frequency heterodyne (12 fringes) -> x,y,z,P; >=60 fps."""
+    from slc_tpu.config import HeterodyneConfig
     from slc_tpu.pipeline import decode_heterodyne_frame
 
-    h, w = 1216, 1632                       # ~2.0 MP, lane/sublane aligned
-    cfg = SystemConfig(cam_h=h, cam_w=w, pro_h=1216, pro_w=1632)
+    cfg, _, tables = _rig_2mp()
     het = HeterodyneConfig()
-    calib = synthetic_calibration(cam_h=h, cam_w=w, pro_h=1216, pro_w=1632)
-    tables = build_tables(calib, h, w)
-
     rng = np.random.default_rng(0)
-    imgs = jnp.asarray(rng.integers(0, 256, (het.num_images, h, w),
+    imgs = jnp.asarray(rng.integers(0, 256, (het.num_images, H2MP, W2MP),
                                     dtype=np.uint8))
 
+    @jax.jit
     def step(images):
         r = decode_heterodyne_frame(images, tables, cfg, het)
         return r.x, r.y, r.z, r.proj_u
 
-    fn = jax.jit(step)
-    jax.block_until_ready(fn(imgs))         # compile + warm up
-    jax.block_until_ready(fn(imgs))
-
-    n = 30
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(imgs)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
-
+    dt = _timeit(step, imgs)
     fps = 1.0 / dt
-    print(json.dumps({
-        "metric": "phase_to_depth_fps_2mp",
-        "value": round(fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(fps / 60.0, 3),
-    }))
+    emit("phase_to_depth_fps_2mp", round(fps, 2), "fps",
+         round(fps / 60.0, 3))
+
+
+def bench_config1():
+    """640x480 Gray+phase absolute decode of a sphere: RMSE vs analytic
+    ground truth (target < 0.5 scene units)."""
+    from slc_tpu.config import TEST_CONFIG
+    from slc_tpu.calib import synthetic_calibration, build_tables
+    from slc_tpu import synth
+    from slc_tpu.pipeline import decode_first_frame
+
+    cfg = TEST_CONFIG
+    calib = synthetic_calibration()
+    tables = build_tables(calib, cfg.cam_h, cfg.cam_w)
+    scene = synth.render_static_scene(calib, cfg, synth.sphere_surface(),
+                                      noise_sigma=1.0)
+    res = decode_first_frame(jnp.asarray(scene.gray_images),
+                             jnp.asarray(scene.phase_images), tables, cfg)
+    z = np.asarray(res.z)
+    v = z > 0
+    rmse = float(np.sqrt(np.mean((z[v] - scene.z_gt[v]) ** 2)))
+    emit("c1_absolute_decode_rmse_640x480", round(rmse, 5), "scene_units",
+         round(0.5 / rmse, 2), valid_pct=round(100.0 * v.mean(), 2))
+
+
+def bench_config3():
+    """Quality-guided spatial unwrap + bilateral filter at 2 MP:
+    wall time and fringe-order accuracy on a multi-period scene with a
+    low-quality noise band (the tile-parallel variant is parity-tested
+    in tests/test_unwrap_tiled.py; one chip here)."""
+    from slc_tpu.ops.unwrap_spatial import unwrap_spatial
+    from slc_tpu.ops.filters import bilateral_filter
+
+    t = 32.0
+    rng = np.random.default_rng(3)
+    x = (np.linspace(0, 24 * t, W2MP)[None, :]
+         + np.linspace(0, 3 * t, H2MP)[:, None]).astype(np.float32)
+    psi = np.mod(x, t).astype(np.float32)
+    q = np.ones((H2MP, W2MP), np.float32)
+    band = slice(H2MP // 2, H2MP // 2 + 16)
+    psi[band] = rng.uniform(0, t, size=(16, W2MP)).astype(np.float32)
+    q[band] = 1e-3
+    # Coarse anchor (a heterodyne-grade initial estimate): truth + bias.
+    anchor = (x + rng.uniform(-t / 3, t / 3)).astype(np.float32)
+
+    psi_j, q_j, a_j = jnp.asarray(psi), jnp.asarray(q), jnp.asarray(anchor)
+    fn = lambda p, qq, aa: unwrap_spatial(p, t, quality=qq, anchor=aa,
+                                          max_iters=300)
+    dt = _timeit(fn, psi_j, q_j, a_j, n=5)
+    got = np.asarray(fn(psi_j, q_j, a_j))
+    good = np.ones_like(q, bool)
+    good[band] = False
+    order_err = float(
+        (np.abs(got[good] - x[good]) > t / 2).mean() * 100.0)
+    emit("c3_spatial_unwrap_ms_2mp", round(dt * 1e3, 3), "ms")
+    emit("c3_unwrap_order_error_pct", round(order_err, 4), "%",
+         None if order_err == 0 else round(0.01 / order_err, 3))
+
+    z = jnp.asarray(50.0 + 20.0 * (x / x.max()), jnp.float32)
+    dt_b = _timeit(bilateral_filter, z, n=10)
+    emit("c3_bilateral_ms_2mp", round(dt_b * 1e3, 3), "ms")
+
+
+def bench_config4():
+    """Streaming 2 MP dynamic tracking: per-frame latency with a
+    device-resident feed (compute-bound truth), a host uint8 feed
+    (H2D per frame), and a host feed + async z fetch (full loop).
+    Target: >=60 fps on-chip."""
+    from slc_tpu import synth
+    from slc_tpu.dynamic import init_tracker
+    from slc_tpu.streaming import run_streaming
+
+    cfg, calib, tables = _rig_2mp()
+    n = 12
+    frames, z_gt, pu_gt = synth.render_dynamic_sequence(
+        calib, cfg, n, z0=50.0, dz_per_frame=0.05, stripe_period=12,
+        noise_sigma=1.0)
+
+    def fresh_state():
+        return init_tracker(jnp.asarray(frames[0]),
+                            jnp.asarray(pu_gt[0], jnp.float32),
+                            jnp.asarray(z_gt[0], jnp.float32), cfg)
+
+    # (a) device-resident feed, results stay on device. Two numbers:
+    # per-frame latency (sync_every=1 — includes one host<->device
+    # round trip per frame, which through a tunneled TPU is tens of
+    # ms), and pipelined throughput (one sync at the end — the number
+    # a co-located host sees at steady state).
+    dev_frames = [jax.device_put(f) for f in frames[1:]]
+    _, warm = run_streaming(fresh_state(), dev_frames, tables, cfg,
+                            fetch=lambda r: r)       # compile
+    _, st = run_streaming(fresh_state(), dev_frames, tables, cfg,
+                          fetch=lambda r: r)
+    emit("c4_stream_latency_p50_ms_device_feed",
+         st.summary()["p50_ms"], "ms",
+         round((1000.0 / 60.0) / max(st.percentile_ms(50), 1e-9), 3))
+    fps_t = max(run_streaming(fresh_state(), dev_frames, tables, cfg,
+                              fetch=lambda r: r,
+                              sync_every=len(dev_frames))[1].fps
+                for _ in range(3))
+    emit("c4_stream_fps_2mp_device_feed", round(fps_t, 2), "fps",
+         round(fps_t / 60.0, 3))
+
+    # (b) host feed: one 2 MB uint8 H2D per frame, no result fetch.
+    host_frames = list(frames[1:])
+    _, st_h = run_streaming(fresh_state(), host_frames, tables, cfg,
+                            fetch=lambda r: r)
+    emit("c4_stream_p50_ms_host_feed", st_h.summary()["p50_ms"], "ms",
+         round((1000.0 / 60.0) / max(st_h.percentile_ms(50), 1e-9), 3),
+         fps=st_h.summary()["fps"])
+
+    # (c) host feed + async z host fetch (default fetch): full loop.
+    _, st_f = run_streaming(fresh_state(), host_frames, tables, cfg)
+    emit("c4_stream_p50_ms_host_feed_zfetch", st_f.summary()["p50_ms"],
+         "ms", None, fps=st_f.summary()["fps"])
+
+
+def bench_config5():
+    """16-scan bundle-adjustment fusion: ATE from noisy observations,
+    plus the distributed-parity delta (landmark-sharded 8-way CPU mesh
+    vs single device, run in a subprocess so the virtual-device flags
+    don't disturb this process's backend)."""
+    from slc_tpu import fusion
+
+    rng = np.random.default_rng(5)
+    obs, mask, rot_gt, trans_gt = fusion.synthetic_problem(
+        rng, s=16, l=128, noise=0.01)
+    rot, trans, _ = fusion.fuse_scans(obs, mask, iters=10)
+    ate = float(fusion.ate_rmse(rot, trans, rot_gt, trans_gt))
+    emit("c5_fusion_ate_16scan", round(ate, 5), "scene_units",
+         round(0.05 / ate, 2))
+
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--parity-worker"],
+        env=env, capture_output=True, text=True, timeout=600,
+        cwd=_HERE)
+    if out.returncode != 0:
+        print(f"parity worker failed: {out.stderr[-500:]}",
+              file=sys.stderr)
+        return
+    delta = float(out.stdout.strip().splitlines()[-1])
+    emit("c5_distributed_parity_delta", delta, "max_abs_diff",
+         round(1e-3 / max(delta, 1e-12), 2))
+
+
+def parity_worker():
+    """CPU-mesh 8-device distributed fusion vs single device (runs in a
+    subprocess; prints the max-abs pose delta)."""
+    # A site hook may pin JAX_PLATFORMS to a TPU platform before python
+    # starts, overriding the env var this subprocess was launched with;
+    # force the CPU backend explicitly (as tests/conftest.py does).
+    jax.config.update("jax_platforms", "cpu")
+    from slc_tpu import fusion
+    from slc_tpu.parallel.fusion_tiled import (fusion_mesh,
+                                               shard_landmarks,
+                                               tiled_fuse_scans)
+    rng = np.random.default_rng(5)
+    obs, mask, _, _ = fusion.synthetic_problem(rng, s=16, l=128,
+                                               noise=0.01)
+    rot_s, trans_s, _ = fusion.fuse_scans(obs, mask, iters=10)
+    mesh = fusion_mesh(jax.devices())
+    obs_d, mask_d = shard_landmarks(mesh, obs, mask)
+    rot_d, trans_d, _ = tiled_fuse_scans(obs_d, mask_d, mesh, iters=10)
+    delta = max(float(jnp.max(jnp.abs(rot_d - rot_s))),
+                float(jnp.max(jnp.abs(trans_d - trans_s))))
+    print(delta)
+
+
+def bench_rooflines():
+    """Achieved fraction of HBM peak for each fused Pallas kernel at
+    2 MP. Bytes moved are the analytic kernel footprints (per pixel):
+    stripe 1u8 in + 2f32 out = 9 B; dynamic step 1u8 + 5f32 in +
+    6f32 out = 45 B; heterodyne 12u8 + 2f32 in + 4f32 out = 36 B."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("rooflines skipped: no TPU backend", file=sys.stderr)
+        return
+    from slc_tpu.config import SystemConfig, HeterodyneConfig
+    from slc_tpu.pallas.stripe import stripe_regression_pallas
+    from slc_tpu.pallas.dynamic_step import dynamic_step_pallas
+    from slc_tpu.pallas.heterodyne import heterodyne_decode_pallas
+
+    cfg, _, tables = _rig_2mp()
+    het = HeterodyneConfig()
+    px = H2MP * W2MP
+    rng = np.random.default_rng(1)
+    frame = jnp.asarray(rng.integers(0, 256, (H2MP, W2MP), np.uint8))
+    f32 = lambda: jnp.asarray(
+        rng.uniform(0, 100, (H2MP, W2MP)).astype(np.float32))
+
+    def line(name, dt, bytes_moved):
+        gbs = bytes_moved / dt / 1e9
+        emit(f"roofline_pct_{name}", round(100.0 * gbs / HBM_PEAK_GBPS, 2),
+             "%_of_hbm_peak", None, achieved_gb_s=round(gbs, 1),
+             ms=round(dt * 1e3, 4))
+
+    dt = _timeit(lambda f: stripe_regression_pallas(f, cfg.reco_window),
+                 frame)
+    line("stripe", dt, 9 * px)
+
+    scalars = jnp.stack([
+        tables.a.astype(jnp.float32), tables.b.astype(jnp.float32),
+        tables.fx.astype(jnp.float32), tables.fy.astype(jnp.float32),
+        tables.cx.astype(jnp.float32), tables.cy.astype(jnp.float32),
+        jnp.float32(cfg.fov_min), jnp.float32(cfg.fov_max)]).reshape(1, 8)
+    sw, sb, pu = f32(), f32(), f32()
+    dt = _timeit(
+        lambda f, a, b, p: dynamic_step_pallas(
+            f, a, b, p, tables.c, tables.d, scalars,
+            window=cfg.reco_window, fov_min=cfg.fov_min,
+            fov_max=cfg.fov_max),
+        frame, sw, sb, pu)
+    line("dynamic_step", dt, 45 * px)
+
+    imgs = jnp.asarray(rng.integers(0, 256, (het.num_images, H2MP, W2MP),
+                                    np.uint8))
+    periods = het.periods(cfg.pro_w)
+    dt = _timeit(
+        lambda im: heterodyne_decode_pallas(
+            im, tables.c, tables.d, scalars, periods=periods,
+            extent=float(cfg.pro_w), n_steps=het.phase_steps,
+            fov_min=cfg.fov_min, fov_max=cfg.fov_max),
+        imgs)
+    line("heterodyne", dt, 36 * px)
+
+
+def main():
+    if "--parity-worker" in sys.argv:
+        parity_worker()
+        return
+    bench_config2_headline()
+    for fn in (bench_config1, bench_config3, bench_config4,
+               bench_config5, bench_rooflines):
+        try:
+            fn()
+        except Exception as e:  # keep the suite robust: later configs
+            print(f"{fn.__name__} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

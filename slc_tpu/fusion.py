@@ -37,6 +37,45 @@ import jax.numpy as jnp
 from slc_tpu import se3
 
 
+def synthetic_problem(rng, s: int = 6, l: int = 64, noise: float = 0.0,
+                      drop: float = 0.2):
+    """Synthetic BA problem shared by tests and bench: ground-truth
+    poses on a small arc + landmarks in a box; observations in
+    scan-local frames, y = R^T (X - t). Returns
+    (obs (S,L,3), mask (S,L), rot_gt (S,3,3), trans_gt (S,3))."""
+    import numpy as np
+    angles = np.linspace(0, 0.4, s)
+    rot_gt = np.stack([np.asarray(se3.exp_so3(jnp.asarray(
+        [0.0, a, 0.05 * a], jnp.float32))) for a in angles])
+    trans_gt = np.stack([np.array([3.0 * a, 0.2 * a, 0.1 * a])
+                         for a in angles]).astype(np.float32)
+    landmarks = rng.uniform(-5, 5, size=(l, 3)).astype(np.float32)
+    landmarks[:, 2] += 20.0
+
+    obs = np.stack([
+        (landmarks - trans_gt[i]) @ rot_gt[i]      # R^T (X - t)
+        for i in range(s)])
+    if noise:
+        obs = obs + rng.normal(0, noise, obs.shape)
+    mask = (rng.uniform(size=(s, l)) > drop).astype(np.float32)
+    mask[0] = 1.0                                  # anchor scan sees all
+    return (jnp.asarray(obs, jnp.float32), jnp.asarray(mask),
+            jnp.asarray(rot_gt, jnp.float32), jnp.asarray(trans_gt))
+
+
+def _highest_precision(fn):
+    """TPU einsums default to reduced (bf16-pass) precision; the Schur
+    system is ill-conditioned enough that single-device and
+    landmark-sharded computation orders visibly diverge there (0.15
+    pose delta vs 1e-4 at f32). Every GN step traces at highest matmul
+    precision — the tensors are tiny (96x96 solve), so this is free."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 def residuals(rot: jax.Array, trans: jax.Array, landmarks: jax.Array,
               obs: jax.Array, mask: jax.Array) -> jax.Array:
     """(S,3,3), (S,3), (L,3), (S,L,3), (S,L) -> masked (S,L,3)."""
@@ -88,6 +127,7 @@ def _schur_reduce(h_cc, b_c, h_ll, b_l, h_cl, damping):
     return s_off, rhs_red, h_ll_inv
 
 
+@_highest_precision
 def gn_step(rot, trans, landmarks, obs, mask,
             damping: float = 1e-3,
             reduce_fn=None) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -162,6 +202,7 @@ def _gn_terms_p2l(rot, trans, landmarks, normals, obs, mask, center):
     return h_cc, b_c, e
 
 
+@_highest_precision
 def gn_step_p2l(rot, trans, landmarks, normals, obs, mask,
                 damping: float = 1e-3, reduce_fn=None):
     """One point-to-plane Gauss-Newton step over POSES ONLY.

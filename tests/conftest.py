@@ -1,24 +1,37 @@
 """Test environment: force the CPU backend with 8 virtual devices so
 sharding/halo-exchange/psum paths run without a TPU slice (SURVEY.md §4's
-TPU-idiomatic fake-backend analog). Must run before jax is imported."""
+TPU-idiomatic fake-backend analog). Must run before jax is imported.
+
+Set SLC_TEST_TPU=1 to keep the real backend instead — this enables the
+compiled-Pallas parity tests in test_pallas_compiled.py (which skip on
+CPU) and makes everything else run single-device on the chip."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+_USE_TPU = os.environ.get("SLC_TEST_TPU", "") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import numpy as np
 import pytest
 
 import jax  # noqa: E402  (after env setup)
 
-# The environment may pin JAX_PLATFORMS to a TPU platform before python
-# starts (e.g. a site hook); the env vars above are then ignored, so
-# force the CPU backend explicitly too.
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    # The environment may pin JAX_PLATFORMS to a TPU platform before
+    # python starts (e.g. a site hook); the env vars above are then
+    # ignored, so force the CPU backend explicitly too.
+    jax.config.update("jax_platforms", "cpu")
+else:
+    # TPU compiles through a tunnel are slow; persist them.
+    _cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture(scope="session")

@@ -61,13 +61,31 @@ def test_modulation_flags_fringeless_pixels():
 
 # ------------------------------------------------------------------ gray
 
+# The reference's shipped LUT (Patterns/vGrayCode.txt:1-64), pinned as
+# literal data so this test constrains the code rather than re-deriving
+# the table from the same b^(b>>1) formula it is meant to validate.
+_REFERENCE_GRAY_LUT = [
+    (0, 0), (1, 1), (2, 3), (3, 2), (4, 6), (5, 7), (6, 5), (7, 4),
+    (8, 12), (9, 13), (10, 15), (11, 14), (12, 10), (13, 11), (14, 9),
+    (15, 8), (16, 24), (17, 25), (18, 27), (19, 26), (20, 30), (21, 31),
+    (22, 29), (23, 28), (24, 20), (25, 21), (26, 23), (27, 22), (28, 18),
+    (29, 19), (30, 17), (31, 16), (32, 48), (33, 49), (34, 51), (35, 50),
+    (36, 54), (37, 55), (38, 53), (39, 52), (40, 60), (41, 61), (42, 63),
+    (43, 62), (44, 58), (45, 59), (46, 57), (47, 56), (48, 40), (49, 41),
+    (50, 43), (51, 42), (52, 46), (53, 47), (54, 45), (55, 44), (56, 36),
+    (57, 37), (58, 39), (59, 38), (60, 34), (61, 35), (62, 33), (63, 32),
+]
+
+
 def test_gray_xor_prefix_matches_reference_lut():
-    """The XOR-prefix inverse must reproduce the shipped LUT
-    (Patterns/vGrayCode.txt:1-64) exactly: table rows are (bin, gray)
-    with gray = bin ^ (bin >> 1)."""
-    table = patterns.gray_lut_table(6)
-    for b, g in table:
-        assert binary_to_gray(jnp.int32(b)) == g
+    """The XOR-prefix inverse and the table generator must reproduce
+    the reference's shipped LUT (Patterns/vGrayCode.txt:1-64) exactly,
+    pinned above as the 64 literal (bin, gray) rows."""
+    assert len(_REFERENCE_GRAY_LUT) == 64
+    np.testing.assert_array_equal(patterns.gray_lut_table(6),
+                                  np.asarray(_REFERENCE_GRAY_LUT))
+    for b, g in _REFERENCE_GRAY_LUT:
+        assert int(binary_to_gray(jnp.int32(b))) == g
         assert int(gray_to_binary(jnp.int32(g), 6)) == b
 
 

@@ -9,26 +9,7 @@ from slc_tpu.parallel.fusion_tiled import (fusion_mesh, shard_landmarks,
                                            tiled_fuse_scans)
 
 
-def _make_problem(rng, s=6, l=64, noise=0.0, drop=0.2):
-    """Ground-truth poses on a small arc + landmarks in a box; obs in
-    scan-local frames: y = R^T (X - t)."""
-    angles = np.linspace(0, 0.4, s)
-    rot_gt = np.stack([np.asarray(se3.exp_so3(jnp.asarray(
-        [0.0, a, 0.05 * a], jnp.float32))) for a in angles])
-    trans_gt = np.stack([np.array([3.0 * a, 0.2 * a, 0.1 * a])
-                         for a in angles]).astype(np.float32)
-    landmarks = rng.uniform(-5, 5, size=(l, 3)).astype(np.float32)
-    landmarks[:, 2] += 20.0
-
-    obs = np.stack([
-        (landmarks - trans_gt[i]) @ rot_gt[i]      # R^T (X - t)
-        for i in range(s)])
-    if noise:
-        obs = obs + rng.normal(0, noise, obs.shape)
-    mask = (rng.uniform(size=(s, l)) > drop).astype(np.float32)
-    mask[0] = 1.0                                  # anchor scan sees all
-    return (jnp.asarray(obs, jnp.float32), jnp.asarray(mask),
-            jnp.asarray(rot_gt, jnp.float32), jnp.asarray(trans_gt))
+_make_problem = fusion.synthetic_problem
 
 
 def test_fusion_exact_recovery(rng):

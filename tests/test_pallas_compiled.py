@@ -1,0 +1,140 @@
+"""Compiled-path Pallas parity: the same kernel-vs-XLA comparisons as
+test_pallas.py, but with interpret=False on real TPU hardware — so the
+Mosaic-compiled kernels that serve production paths are tested compiled,
+not only interpreted (VERDICT round 1, item 8).
+
+Skipped unless the backend is a TPU; run with
+
+    SLC_TEST_TPU=1 python -m pytest tests/test_pallas_compiled.py -v
+
+(conftest.py forces CPU otherwise)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="compiled Pallas parity needs a TPU backend "
+           "(set SLC_TEST_TPU=1)")
+
+
+def test_compiled_stripe_matches_xla(rng):
+    from slc_tpu.ops.stripe import stripe_regression
+    from slc_tpu.pallas.stripe import stripe_regression_pallas
+
+    frame = rng.integers(0, 256, size=(256, 384), dtype=np.uint8)
+    f = jnp.asarray(frame)
+    for subpixel in (False, True):
+        rw, rb = stripe_regression(f, 21, subpixel)
+        gw, gb = stripe_regression_pallas(f, 21, subpixel)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(rb),
+                                   atol=1e-4)
+
+
+def test_compiled_dynamic_step_matches_xla(rng):
+    from slc_tpu.config import SystemConfig
+    from slc_tpu.calib import synthetic_calibration, build_tables
+    from slc_tpu.dynamic import TrackerState, dynamic_step
+    from slc_tpu.pallas.dynamic_step import dynamic_step_pallas
+
+    h, w = 256, 384
+    cfg = SystemConfig(cam_h=h, cam_w=w, pro_h=h, pro_w=640, gray_bits=5)
+    calib = synthetic_calibration(cam_h=h, cam_w=w, pro_h=h, pro_w=640)
+    tables = build_tables(calib, h, w)
+    frame = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
+    r = cfg.reco_window // 2
+    mask = np.zeros((h, w), np.float32)
+    mask[r:-r, r:-r] = 1.0
+    sw0 = jnp.asarray(rng.uniform(-5, 5, (h, w)) * mask, jnp.float32)
+    sb0 = jnp.asarray(rng.uniform(-5, 5, (h, w)) * mask, jnp.float32)
+    pu0 = jnp.asarray(rng.uniform(100, 500, (h, w)), jnp.float32)
+
+    st = TrackerState(proj_u=jnp.array(pu0), strip_w=jnp.array(sw0),
+                      strip_b=jnp.array(sb0),
+                      z=jnp.zeros((h, w), jnp.float32),
+                      frame_idx=jnp.int32(0))
+    _, ref = dynamic_step(st, frame, tables, cfg, use_pallas=False)
+
+    scalars = jnp.stack([
+        tables.a, tables.b, tables.fx, tables.fy, tables.cx, tables.cy,
+        jnp.float32(cfg.fov_min), jnp.float32(cfg.fov_max)]).reshape(1, 8)
+    pu, sw, sb, z, x, y = dynamic_step_pallas(
+        frame, sw0, sb0, pu0, tables.c, tables.d, scalars,
+        window=cfg.reco_window)
+    np.testing.assert_allclose(np.asarray(pu), np.asarray(ref.proj_u),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref.z),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                               atol=2e-4)
+
+
+def test_compiled_heterodyne_matches_xla(rng):
+    from slc_tpu.config import TEST_CONFIG, HeterodyneConfig
+    from slc_tpu.calib import synthetic_calibration, build_tables
+    from slc_tpu import synth
+    from slc_tpu.pipeline import decode_heterodyne_frame
+    from slc_tpu.pallas.heterodyne import heterodyne_decode_pallas
+
+    cfg = TEST_CONFIG
+    het = HeterodyneConfig()
+    calib = synthetic_calibration()
+    tables = build_tables(calib, cfg.cam_h, cfg.cam_w)
+    imgs, _, _ = synth.render_fringe_stack(
+        calib, cfg, synth.sphere_surface(), het.periods(cfg.pro_w),
+        het.phase_steps, noise_sigma=1.0)
+    imgs = jnp.asarray(imgs)
+
+    ref = decode_heterodyne_frame(imgs, tables, cfg, het,
+                                  use_pallas=False)
+    scalars = jnp.stack([
+        tables.a, tables.b, tables.fx, tables.fy, tables.cx, tables.cy,
+        jnp.float32(0.0), jnp.float32(0.0)]).reshape(1, 8)
+    x, y, z, pu = heterodyne_decode_pallas(
+        imgs, tables.c, tables.d, scalars,
+        periods=het.periods(cfg.pro_w), extent=float(cfg.pro_w),
+        n_steps=het.phase_steps, fov_min=cfg.fov_min,
+        fov_max=cfg.fov_max)
+    # Same beat-order rounding caveat as the interpreter test
+    # (test_pallas.py:98-104): fp reassociation in the compiled kernel
+    # can flip order rounding on isolated boundary pixels.
+    dpu = np.abs(np.asarray(pu) - np.asarray(ref.proj_u))
+    assert np.mean(dpu < 1e-2) > 0.999, np.mean(dpu < 1e-2)
+    m = dpu < 1e-2
+    np.testing.assert_allclose(np.asarray(z)[m], np.asarray(ref.z)[m],
+                               atol=1e-3)
+
+
+def test_compiled_grayphase_matches_xla(rng):
+    from slc_tpu.config import TEST_CONFIG
+    from slc_tpu.calib import synthetic_calibration, build_tables
+    from slc_tpu import synth
+    from slc_tpu.pipeline import decode_first_frame
+    from slc_tpu.pallas.grayphase import grayphase_decode_pallas
+
+    cfg = TEST_CONFIG
+    calib = synthetic_calibration()
+    tables = build_tables(calib, cfg.cam_h, cfg.cam_w)
+    scene = synth.render_static_scene(calib, cfg, synth.sphere_surface(),
+                                      noise_sigma=1.0)
+    g = jnp.asarray(scene.gray_images)
+    p = jnp.asarray(scene.phase_images)
+
+    ref = decode_first_frame(g, p, tables, cfg, min_modulation=2.0,
+                             use_pallas=False)
+    scalars = jnp.stack([
+        tables.a, tables.b, tables.fx, tables.fy, tables.cx,
+        tables.cy, jnp.float32(0.0), jnp.float32(0.0)]).reshape(1, 8)
+    x, y, z, pu = grayphase_decode_pallas(
+        jnp.concatenate([g, p], axis=0), tables.c, tables.d, scalars,
+        gray_bits=cfg.gray_bits, gray_period=float(cfg.gray_period),
+        phase_period=float(cfg.phase_period), n_steps=cfg.phase_steps,
+        min_modulation=2.0, fov_min=cfg.fov_min, fov_max=cfg.fov_max)
+    np.testing.assert_allclose(np.asarray(pu), np.asarray(ref.proj_u),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref.z),
+                               atol=1e-3)
