@@ -146,12 +146,18 @@ def bench_config3():
     fn = lambda p, qq, aa: unwrap_spatial(p, t, quality=qq, anchor=aa,
                                           max_iters=300)
     dt = _timeit(fn, psi_j, q_j, a_j, n=5)
-    got = np.asarray(fn(psi_j, q_j, a_j))
+    got, info = unwrap_spatial(psi_j, t, quality=q_j, anchor=a_j,
+                               max_iters=300, return_info=True)
+    got = np.asarray(got)
     good = np.ones_like(q, bool)
     good[band] = False
     order_err = float(
         (np.abs(got[good] - x[good]) > t / 2).mean() * 100.0)
-    emit("c3_spatial_unwrap_ms_2mp", round(dt * 1e3, 3), "ms")
+    emit("c3_spatial_unwrap_ms_2mp", round(dt * 1e3, 3), "ms",
+         None, cg_iters=int(info["cg_iters"]),
+         rel_residual=float(info["rel_residual"]),
+         residues=int(info["residue_count"]),
+         suspect_px=int(info["suspect_count"]))
     emit("c3_unwrap_order_error_pct", round(order_err, 4), "%",
          None if order_err == 0 else round(0.01 / order_err, 3))
 
@@ -212,6 +218,15 @@ def bench_config4():
     _, st_f = run_streaming(fresh_state(), host_frames, tables, cfg)
     emit("c4_stream_p50_ms_host_feed_zfetch", st_f.summary()["p50_ms"],
          "ms", None, fps=st_f.summary()["fps"])
+
+    # (d) transfer/compute overlap, measured: pipelined vs strict
+    # sequential, with pure-compute and pure-transfer legs. Efficiency
+    # 1.0 = the cheaper leg fully hidden under the other.
+    from slc_tpu.streaming import measure_overlap
+    ov = measure_overlap(fresh_state(), host_frames, tables, cfg)
+    emit("c4_overlap_efficiency", ov["overlap_efficiency"], "fraction",
+         None, **{k: v for k, v in ov.items()
+                  if k != "overlap_efficiency"})
 
 
 def bench_config5():

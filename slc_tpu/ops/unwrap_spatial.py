@@ -82,11 +82,57 @@ def _diag(wy, wx) -> jax.Array:
     return jnp.maximum(d, 1e-8)
 
 
-@functools.partial(jax.jit, static_argnames=("period", "max_iters"))
+def residues(psi: jax.Array, period: float) -> jax.Array:
+    """Phase residues: the loop integral of wrapped gradients around
+    each 2x2 plaquette, in fringe orders. Nonzero entries (±1) mark
+    points where the wrapped gradient field is not conservative — the
+    classical diagnostic that a scene cannot be unwrapped consistently
+    along every path (discontinuities, aliasing, noise). Returns an
+    (H-1, W-1) int32 charge map."""
+    dy, dx = wrapped_gradients(psi, period)
+    loop = (dx[:-1, :]          # top edge, left -> right
+            + dy[:, 1:]         # right edge, top -> bottom
+            - dx[1:, :]         # bottom edge
+            - dy[:, :-1])       # left edge
+    return jnp.round(loop / jnp.float32(period)).astype(jnp.int32)
+
+
+def suspect_edges(p: jax.Array, psi: jax.Array, period: float,
+                  quality: Optional[jax.Array] = None,
+                  weight_floor: float = 0.5) -> jax.Array:
+    """Flag pixels where the unwrapped solution CUT a high-confidence
+    edge: |(P_i - P_j) - wrapped(psi_i - psi_j)| > T/2 on an edge whose
+    quality weight exceeds ``weight_floor`` (relative to max quality).
+
+    On a correct unwrap of a smooth region this is empty; at a genuine
+    depth discontinuity or an unwrap failure the cut edges light up —
+    so failure modes are FLAGGED, not silently smoothed over. Returns
+    an (H, W) bool mask (a pixel is suspect if any of its 4 edges is
+    cut)."""
+    half = jnp.float32(period) / 2.0
+    dy, dx = wrapped_gradients(psi, period)
+    if quality is None:
+        wy = jnp.ones_like(dy)
+        wx = jnp.ones_like(dx)
+    else:
+        wy, wx = edge_weights(quality.astype(jnp.float32))
+    cut_y = (jnp.abs((p[1:, :] - p[:-1, :]) - dy) > half) \
+        & (wy > weight_floor)
+    cut_x = (jnp.abs((p[:, 1:] - p[:, :-1]) - dx) > half) \
+        & (wx > weight_floor)
+    out = jnp.zeros(p.shape, bool)
+    out = out.at[1:, :].max(cut_y).at[:-1, :].max(cut_y)
+    out = out.at[:, 1:].max(cut_x).at[:, :-1].max(cut_x)
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("period", "max_iters", "return_info"))
 def unwrap_spatial(psi: jax.Array, period: float,
                    quality: Optional[jax.Array] = None,
                    max_iters: int = 300, tol: float = 1e-4,
-                   anchor: Optional[jax.Array] = None) -> jax.Array:
+                   anchor: Optional[jax.Array] = None,
+                   return_info: bool = False):
     """Weighted-LS spatial unwrap of wrapped coordinate ``psi`` in
     [0, T).
 
@@ -100,9 +146,16 @@ def unwrap_spatial(psi: jax.Array, period: float,
         previous frame's P, or a coarse heterodyne result); defaults to
         psi itself. The Laplacian's constant nullspace is fixed by
         re-centering on the anchor's weighted mean.
+      return_info: also return convergence + failure diagnostics.
 
     Returns (H, W) float32 absolute coordinate, congruent with psi
-    modulo T at every pixel.
+    modulo T at every pixel. With ``return_info=True`` returns
+    ``(p, info)`` where info = {``cg_iters``, ``rel_residual`` (final
+    ||r||/||b||; > tol means the iteration cap hit first),
+    ``residue_count`` (nonzero plaquette charges in the input —
+    unwrap difficulty), ``suspect`` ((H, W) bool: high-quality edges
+    the solution cut — unwrap failures / unmasked discontinuities),
+    ``suspect_count``}.
     """
     psi = psi.astype(jnp.float32)
     if quality is None:
@@ -132,7 +185,7 @@ def unwrap_spatial(psi: jax.Array, period: float,
         beta = jnp.sum(r * z_new) / jnp.maximum(rz, 1e-20)
         return p, r, z_new, z_new + beta * d, it + 1
 
-    p, _, _, _, _ = jax.lax.while_loop(
+    p, r_fin, _, _, iters = jax.lax.while_loop(
         cond, body, (p0, r0, z0, z0, jnp.int32(0)))
 
     # Remove the nullspace drift relative to the anchor, then snap to
@@ -141,7 +194,28 @@ def unwrap_spatial(psi: jax.Array, period: float,
     shift = jnp.sum(quality * (p - p0)) / wsum
     p = p - shift + jnp.round(shift / period) * period
     k = jnp.round((p - psi) / period)
-    return psi + k * jnp.float32(period)
+    out = psi + k * jnp.float32(period)
+    if not return_info:
+        return out
+    res = residues(psi, period)
+    sus = suspect_edges(out, psi, period, quality)
+    # A depth step of k + delta periods leaves a wrapped-gradient error
+    # of exactly round(k + delta) periods — self-consistent (zero
+    # residues, zero cut edges) and thus undetectable from psi alone.
+    # The anchor (a coarse absolute estimate) is the only signal that
+    # exposes such whole-region order offsets; flag where the solution
+    # moved >= 1 order away from it.
+    dis = jnp.abs(out - p0) > jnp.float32(period) / 2.0
+    info = {
+        "cg_iters": iters,
+        "rel_residual": jnp.sqrt(jnp.sum(r_fin * r_fin)) / b_norm,
+        "residue_count": jnp.sum(jnp.abs(res)),
+        "suspect": sus,
+        "suspect_count": jnp.sum(sus),
+        "anchor_disagreement": dis,
+        "anchor_disagreement_count": jnp.sum(dis),
+    }
+    return out, info
 
 
 def unwrap_to_reference(psi: jax.Array, period: float,

@@ -45,13 +45,18 @@ def _neighbor_stack(x_ext: jax.Array) -> tuple:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("period", "mesh", "max_iters"))
+                   static_argnames=("period", "mesh", "max_iters",
+                                    "return_info"))
 def tiled_unwrap_spatial(psi: jax.Array, period: float, mesh,
                          quality: Optional[jax.Array] = None,
                          max_iters: int = 300, tol: float = 1e-4,
-                         anchor: Optional[jax.Array] = None) -> jax.Array:
+                         anchor: Optional[jax.Array] = None,
+                         return_info: bool = False):
     """Distributed version of slc_tpu.ops.unwrap_spatial.unwrap_spatial;
-    same operator, same CG, numerically lockstep across tiles."""
+    same operator, same CG, numerically lockstep across tiles. With
+    ``return_info=True`` also returns the same diagnostics dict
+    (cg_iters / rel_residual replicated scalars; residue and suspect
+    counts psum-reduced across tiles; ``suspect`` mask tile-sharded)."""
     if quality is None:
         quality = jnp.ones_like(psi, dtype=jnp.float32)
     if anchor is None:
@@ -105,14 +110,67 @@ def tiled_unwrap_spatial(psi: jax.Array, period: float, mesh,
             beta = dot(r, z_new) / jnp.maximum(rz, 1e-20)
             return p, r, z_new, z_new + beta * d, it + 1
 
-        p, _, _, _, _ = jax.lax.while_loop(
+        p, r_fin, _, _, it_fin = jax.lax.while_loop(
             cond, body, (p0, r0, z0, z0, jnp.int32(0)))
 
         wsum = jnp.maximum(_psum_all(q_t.sum()), 1e-20)
         shift = _psum_all(jnp.sum(q_t * (p - p0))) / wsum
         p = p - shift + jnp.round(shift / period) * period
         k = jnp.round((p - psi_t) / period)
-        return psi_t + k * jnp.float32(period)
+        out = psi_t + k * jnp.float32(period)
+        if not return_info:
+            return out
 
+        # --- diagnostics (mirrors ops.unwrap_spatial info) ---------
+        # Plaquette residues anchored at core pixels, using the right/
+        # bottom halo; the global last row/col has no plaquette, so
+        # mask it off on the edge tiles (halo there is zero-fill).
+        w = jnp.float32(period)
+        c = psi_ext[1:-1, 1:-1]
+        rt = psi_ext[1:-1, 2:]
+        dn = psi_ext[2:, 1:-1]
+        dg = psi_ext[2:, 2:]
+        loop = (wrap_to_half(rt - c, period)
+                + wrap_to_half(dg - rt, period)
+                - wrap_to_half(dg - dn, period)
+                - wrap_to_half(dn - c, period))
+        charge = jnp.abs(jnp.round(loop / w).astype(jnp.int32))
+        last_y = (jax.lax.axis_index(TILE_Y)
+                  == jax.lax.axis_size(TILE_Y) - 1)
+        last_x = (jax.lax.axis_index(TILE_X)
+                  == jax.lax.axis_size(TILE_X) - 1)
+        row = jnp.arange(charge.shape[0])[:, None]
+        col = jnp.arange(charge.shape[1])[None, :]
+        valid = ~((last_y & (row == charge.shape[0] - 1))
+                  | (last_x & (col == charge.shape[1] - 1)))
+        residue_count = _psum_all(jnp.sum(jnp.where(valid, charge, 0)))
+
+        # Suspect (cut high-quality) edges; zero-filled halo quality
+        # makes border edges weight-0, so they never flag.
+        out_ext = halo_exchange(out, 1, 1)
+        sus = jnp.zeros(out.shape, bool)
+        for w_, d_, pn in zip(w_nbr, d_nbr, _neighbor_stack(out_ext)):
+            sus = sus | ((jnp.abs((out - pn) - d_) > w / 2.0)
+                         & (w_ > 0.5))
+        dis = jnp.abs(out - p0) > w / 2.0
+        info = {
+            "cg_iters": it_fin,
+            "rel_residual": jnp.sqrt(dot(r_fin, r_fin)) / b_norm,
+            "residue_count": residue_count,
+            "suspect": sus,
+            "suspect_count": _psum_all(jnp.sum(sus)),
+            "anchor_disagreement": dis,
+            "anchor_disagreement_count": _psum_all(jnp.sum(dis)),
+        }
+        return out, info
+
+    if not return_info:
+        return shard_map(f, mesh=mesh, in_specs=(SPEC2, SPEC2, SPEC2),
+                         out_specs=SPEC2)(psi, quality, anchor)
+    out_specs = (SPEC2, {"cg_iters": P(), "rel_residual": P(),
+                         "residue_count": P(), "suspect": SPEC2,
+                         "suspect_count": P(),
+                         "anchor_disagreement": SPEC2,
+                         "anchor_disagreement_count": P()})
     return shard_map(f, mesh=mesh, in_specs=(SPEC2, SPEC2, SPEC2),
-                     out_specs=SPEC2)(psi, quality, anchor)
+                     out_specs=out_specs)(psi, quality, anchor)

@@ -52,3 +52,27 @@ def test_run_streaming_stats():
     _, stats = run_streaming(state, frames[1:], tables, CFG)
     s = stats.summary()
     assert s["frames"] == 3 and s["fps"] > 0
+
+
+def test_measure_overlap_reports_consistent_timings():
+    """measure_overlap's four legs must be self-consistent on any
+    backend: pipelined <= sequential * 1.5 (timer noise allowance) and
+    all keys present. The real >=x overlap assertion runs on TPU only
+    (test_streaming_tpu.py) — CPU device_put is a synchronous copy."""
+    from slc_tpu.streaming import measure_overlap
+    calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
+                                  pro_h=CFG.pro_h, pro_w=CFG.pro_w)
+    tables = build_tables(calib, CFG.cam_h, CFG.cam_w)
+    frames, zs, pus = synth.render_dynamic_sequence(
+        calib, CFG, 5, z0=50.0, dz_per_frame=0.1, stripe_period=12)
+    state = init_tracker(jnp.asarray(frames[0]),
+                         jnp.asarray(pus[0], jnp.float32),
+                         jnp.asarray(zs[0], jnp.float32), CFG)
+    ov = measure_overlap(state, frames[1:], tables, CFG)
+    for k in ("compute_ms", "transfer_ms", "pipelined_ms",
+              "sequential_ms", "overlap_efficiency",
+              "speedup_vs_sequential"):
+        assert k in ov, k
+    assert ov["frames"] == 4
+    assert 0.0 <= ov["overlap_efficiency"] <= 1.0
+    assert ov["pipelined_ms"] > 0 and ov["sequential_ms"] > 0

@@ -102,3 +102,123 @@ def test_decode_spatial_frame_end_to_end():
     assert valid.mean() > 0.95
     rmse = np.sqrt(np.mean((z[valid] - z_gt[valid]) ** 2))
     assert rmse < 0.05
+
+
+# ------------------------------------------------- hard scenes (round 2)
+# VERDICT round 1, item 5: occlusion/discontinuity coverage, residue
+# counting, CG convergence reporting, failure flagging.
+
+def _box_step_scene(rng, t=32.0, h=96, w=128, step_periods=3.7,
+                    noise=0.0):
+    """A raised box over a ramped background: the fringe coordinate
+    jumps ``step_periods * t`` across the box boundary — the canonical
+    occlusion/depth-step scene. Returns (x_true, psi, box_mask,
+    edge_ring) where edge_ring is the 2-px band around the boundary."""
+    x = (np.linspace(0, 5 * t, w)[None, :]
+         + 0.4 * np.arange(h)[:, None]).astype(np.float64)
+    box = np.zeros((h, w), bool)
+    box[h // 3: 2 * h // 3, w // 3: 2 * w // 3] = True
+    x = x + step_periods * t * box
+    psi = np.mod(x + (rng.normal(0, noise, (h, w)) if noise else 0.0),
+                 t).astype(np.float32)
+    inner = np.zeros_like(box)
+    inner[h // 3 + 2: 2 * h // 3 - 2, w // 3 + 2: 2 * w // 3 - 2] = True
+    outer = np.zeros_like(box)
+    outer[h // 3 - 2: 2 * h // 3 + 2, w // 3 - 2: 2 * w // 3 + 2] = True
+    edge_ring = outer & ~inner
+    return x, psi, box, edge_ring
+
+
+def test_unwrap_step_edge_masked_by_quality(rng):
+    """The realistic case: the depth step casts a zero-modulation shadow
+    (occlusion boundary), so its edges carry zero quality — the box is
+    DISCONNECTED from the background. Both regions must unwrap exactly:
+    the anchor fixes the box's free constant (any nonzero coupling
+    would instead pull it to the wrapped — wrong — boundary gradient).
+    Zero fringe-order errors outside the ring."""
+    t = 32.0
+    x, psi, box, ring = _box_step_scene(rng, t=t, noise=0.05)
+    q = np.ones(psi.shape, np.float32)
+    q[ring] = 0.0
+    anchor = (x + rng.uniform(-t / 3, t / 3, x.shape)).astype(np.float32)
+    got, info = unwrap_spatial(jnp.asarray(psi), t,
+                               quality=jnp.asarray(q), max_iters=800,
+                               anchor=jnp.asarray(anchor),
+                               return_info=True)
+    got = np.asarray(got)
+    good = ~ring
+    order_err = np.abs(got[good] - x[good]) > t / 2
+    assert order_err.mean() == 0.0, order_err.mean()
+    # No high-quality edge was cut (the cut lives on the 0-weight ring)
+    # and the solution stayed within an order of its anchor everywhere
+    # outside the ring.
+    assert int(info["suspect_count"]) == 0
+    dis = np.asarray(info["anchor_disagreement"])
+    assert dis[good].mean() == 0.0
+    assert int(info["cg_iters"]) > 0
+    assert float(info["rel_residual"]) < 1e-3
+
+
+def test_unwrap_step_edge_unmasked_is_flagged(rng):
+    """The ambiguous case: the same depth step with NO quality gate. A
+    step of 3.7 periods leaves a wrapped-gradient error of exactly 4
+    periods — self-consistent (zero residues, zero cut edges), so the
+    LS solution silently shifts the whole box by -4 orders. That is
+    fundamentally undetectable from psi alone; the ANCHOR disagreement
+    diagnostic must flag the box, and the background must stay
+    order-correct."""
+    t = 32.0
+    x, psi, box, ring = _box_step_scene(rng, t=t, noise=0.05)
+    anchor = (x + rng.uniform(-t / 3, t / 3, x.shape)).astype(np.float32)
+    got, info = unwrap_spatial(jnp.asarray(psi), t, max_iters=800,
+                               anchor=jnp.asarray(anchor),
+                               return_info=True)
+    got = np.asarray(got)
+    # Background (outside box and ring) stays order-correct.
+    bg = ~box & ~ring
+    assert (np.abs(got[bg] - x[bg]) > t / 2).mean() < 0.02
+    # The box interior IS wrong (shifted by an integer order)...
+    inner = box & ~ring
+    assert (np.abs(got[inner] - x[inner]) > t / 2).mean() > 0.9
+    # ...and the anchor-disagreement mask flags it, not the background.
+    dis = np.asarray(info["anchor_disagreement"])
+    assert dis[inner].mean() > 0.8, dis[inner].mean()
+    assert dis[bg].mean() < 0.05, dis[bg].mean()
+    # The scene is self-consistent: the structural diagnostics are
+    # (correctly) silent — this is exactly why the anchor one exists.
+    assert int(info["residue_count"]) < 5
+    assert float(np.asarray(info["suspect"])[bg].mean()) < 0.01
+
+
+def test_residue_counting(rng):
+    """Residues: a clean smooth ramp has none; heavy localized noise
+    creates them and they are counted in info."""
+    from slc_tpu.ops.unwrap_spatial import residues
+    t = 32.0
+    h, w = 64, 96
+    x = np.linspace(0, 4 * t, w)[None, :] + 0.3 * np.arange(h)[:, None]
+    psi_clean = np.mod(x, t).astype(np.float32)
+    assert int(np.abs(np.asarray(residues(jnp.asarray(psi_clean), t)))
+               .sum()) == 0
+    psi_noisy = psi_clean.copy()
+    psi_noisy[20:30, 30:60] = rng.uniform(0, t, (10, 30))
+    n_res = int(np.abs(np.asarray(residues(jnp.asarray(psi_noisy), t)))
+                .sum())
+    assert n_res > 0
+    _, info = unwrap_spatial(jnp.asarray(psi_noisy), t, max_iters=400,
+                             return_info=True)
+    assert int(info["residue_count"]) == n_res
+
+
+def test_unwrap_iteration_cap_is_reported(rng):
+    """When the CG cap cuts convergence short, rel_residual > tol tells
+    the caller — no silent under-convergence."""
+    t = 24.0
+    h, w = 96, 128
+    x = 30.0 + 40.0 * np.sin(np.linspace(0, 2, w))[None, :] \
+        + 10.0 * np.cos(np.linspace(0, 3, h))[:, None]
+    psi = np.mod(x, t).astype(np.float32)
+    _, info = unwrap_spatial(jnp.asarray(psi), t, max_iters=3,
+                             return_info=True)
+    assert int(info["cg_iters"]) == 3
+    assert float(info["rel_residual"]) > 1e-4
