@@ -287,11 +287,16 @@ def bench_rooflines():
     """Achieved fraction of HBM peak for each fused Pallas kernel at
     2 MP. Bytes moved are the analytic kernel footprints (per pixel):
     stripe 1u8 in + 2f32 out = 9 B; dynamic step 1u8 + 5f32 in +
-    6f32 out = 45 B; heterodyne 12u8 + 2f32 in + 4f32 out = 36 B."""
+    6f32 out = 45 B; heterodyne 12u8 + 2f32 in + 4f32 out = 36 B.
+
+    Timing is ON-DEVICE via the JAX profiler (slc_tpu.devtime): host
+    wall clock through the tunneled TPU both under-measures (async
+    dispatch) and over-measures (RPC round trips) by up to 30x."""
     if jax.default_backend() not in ("tpu", "axon"):
         print("rooflines skipped: no TPU backend", file=sys.stderr)
         return
     from slc_tpu.config import SystemConfig, HeterodyneConfig
+    from slc_tpu.devtime import device_time_s
     from slc_tpu.pallas.stripe import stripe_regression_pallas
     from slc_tpu.pallas.dynamic_step import dynamic_step_pallas
     from slc_tpu.pallas.heterodyne import heterodyne_decode_pallas
@@ -308,10 +313,10 @@ def bench_rooflines():
         gbs = bytes_moved / dt / 1e9
         emit(f"roofline_pct_{name}", round(100.0 * gbs / HBM_PEAK_GBPS, 2),
              "%_of_hbm_peak", None, achieved_gb_s=round(gbs, 1),
-             ms=round(dt * 1e3, 4))
+             device_ms=round(dt * 1e3, 4))
 
-    dt = _timeit(lambda f: stripe_regression_pallas(f, cfg.reco_window),
-                 frame)
+    dt = device_time_s(
+        lambda: stripe_regression_pallas(frame, cfg.reco_window))
     line("stripe", dt, 9 * px)
 
     scalars = jnp.stack([
@@ -320,24 +325,26 @@ def bench_rooflines():
         tables.cx.astype(jnp.float32), tables.cy.astype(jnp.float32),
         jnp.float32(cfg.fov_min), jnp.float32(cfg.fov_max)]).reshape(1, 8)
     sw, sb, pu = f32(), f32(), f32()
-    dt = _timeit(
-        lambda f, a, b, p: dynamic_step_pallas(
-            f, a, b, p, tables.c, tables.d, scalars,
+    dt = device_time_s(
+        lambda: dynamic_step_pallas(
+            frame, sw, sb, pu, tables.c, tables.d, scalars,
             window=cfg.reco_window, fov_min=cfg.fov_min,
-            fov_max=cfg.fov_max),
-        frame, sw, sb, pu)
+            fov_max=cfg.fov_max))
     line("dynamic_step", dt, 45 * px)
+    emit("device_fps_dynamic_step_2mp", round(1.0 / dt, 1), "fps",
+         round(1.0 / dt / 60.0, 3))
 
     imgs = jnp.asarray(rng.integers(0, 256, (het.num_images, H2MP, W2MP),
                                     np.uint8))
     periods = het.periods(cfg.pro_w)
-    dt = _timeit(
-        lambda im: heterodyne_decode_pallas(
-            im, tables.c, tables.d, scalars, periods=periods,
+    dt = device_time_s(
+        lambda: heterodyne_decode_pallas(
+            imgs, tables.c, tables.d, scalars, periods=periods,
             extent=float(cfg.pro_w), n_steps=het.phase_steps,
-            fov_min=cfg.fov_min, fov_max=cfg.fov_max),
-        imgs)
+            fov_min=cfg.fov_min, fov_max=cfg.fov_max))
     line("heterodyne", dt, 36 * px)
+    emit("device_fps_heterodyne_decode_2mp", round(1.0 / dt, 1), "fps",
+         round(1.0 / dt / 60.0, 3))
 
 
 def main():

@@ -105,15 +105,19 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
 
     f = f_scr[:].astype(jnp.int32).astype(jnp.float32)
 
-    # --- stripe tracking on rows [i*bh - PAD, i*bh + bh + PAD) -------
-    # (strip row k of this tile = global row i*bh - PAD + k; frame
-    # padded rows start at global -(r + PAD), so frame index k..k+2r.)
-    n_strip = bh + 2 * PAD
-    vs = f[0:n_strip, :]
+    # --- stripe tracking on rows [i*bh - 1, i*bh + bh + 1) -----------
+    # The DMA'd halo is PAD=8 rows (alignment), but the compute only
+    # needs 1 halo row (the 3x3 blur); the windowed-extrema scan is the
+    # kernel's VPU hot spot, so restricting it from bh+2*PAD to bh+2
+    # rows is a direct ~25-45% saving. Strip row j of the compute
+    # domain = global row i*bh - 1 + j = scratch row OFF + j.
+    OFF = PAD - 1                     # first compute row in scratch
+    n_strip = bh + 2
+    vs = f[OFF:OFF + n_strip, :]
     for k in range(1, window):
-        vs = vs + f[k:k + n_strip, :]
+        vs = vs + f[OFF + k:OFF + k + n_strip, :]
 
-    row0 = i * bh - PAD
+    row0 = i * bh - 1
     rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (n_strip, pad_w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n_strip, pad_w), 1)
     interior = ((rows >= r) & (rows < img_h - r)
@@ -124,20 +128,20 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
     sb = jnp.where(interior, sb, 0.0)
 
     # --- deltaP select + 3x3 blur (CCalculation.cpp:595-650) ---------
-    d_b = pb_scr[:] - sb
-    d_w = pw_scr[:] - sw
+    d_b = pb_scr[OFF:OFF + n_strip, :] - sb
+    d_w = pw_scr[OFF:OFF + n_strip, :] - sw
     dp1 = jnp.where(jnp.abs(d_b) < jnp.abs(d_w), d_b, d_w)
     if robust:
         # Mean-combine where the two stripe families agree — cancels
         # the min-|d| rectification bias (ops/stripe.select_delta_p).
         agree = jnp.abs(d_b - d_w) <= 1.0
         dp1 = jnp.where(agree, 0.5 * (d_b + d_w), dp1)
-    # 3x3 mean on the core rows [PAD, PAD + bh): rows via slicing,
-    # cols via lane rolls (wrap touches only interior-masked zeros,
-    # identical to the XLA path).
+    # 3x3 mean on the core rows (compute rows [1, 1 + bh)): rows via
+    # slicing, cols via lane rolls (wrap touches only interior-masked
+    # zeros, identical to the XLA path).
     acc = jnp.zeros((bh, pad_w), jnp.float32)
     for dy in (-1, 0, 1):
-        row_slice = dp1[PAD + dy:PAD + dy + bh, :]
+        row_slice = dp1[1 + dy:1 + dy + bh, :]
         acc = acc + row_slice \
             + pltpu.roll(row_slice, 1, axis=1) \
             + pltpu.roll(row_slice, pad_w - 1, axis=1)
@@ -171,12 +175,14 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
               ).astype(jnp.float32)
     g_cols = jax.lax.broadcasted_iota(jnp.int32, (bh, out_w), 1
                                       ).astype(jnp.float32)
-    x_out[:] = z * ((g_cols - cx) / fx)
-    y_out[:] = z * ((g_rows - cy) / fy)
+    inv_fx = 1.0 / fx                  # scalar once per block
+    inv_fy = 1.0 / fy
+    x_out[:] = z * ((g_cols - cx) * inv_fx)
+    y_out[:] = z * ((g_rows - cy) * inv_fy)
     z_out[:] = z
     pu_out[:] = pu_new[:, :out_w]
-    sw_out[:] = sw[PAD:PAD + bh, :out_w]
-    sb_out[:] = sb[PAD:PAD + bh, :out_w]
+    sw_out[:] = sw[1:1 + bh, :out_w]
+    sb_out[:] = sb[1:1 + bh, :out_w]
 
 
 @functools.partial(jax.jit,

@@ -111,8 +111,10 @@ def _kernel(scal_ref, img_ref, c_ref, d_ref,
               ).astype(jnp.float32)
     g_cols = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1
                                       ).astype(jnp.float32)
-    x_out[:] = z * ((g_cols - cx) / fx)
-    y_out[:] = z * ((g_rows - cy) / fy)
+    inv_fx = 1.0 / fx                  # scalar once per block
+    inv_fy = 1.0 / fy
+    x_out[:] = z * ((g_cols - cx) * inv_fx)
+    y_out[:] = z * ((g_rows - cy) * inv_fy)
     z_out[:] = z
     pu_out[:] = pu
 

@@ -116,8 +116,12 @@ def _kernel(scal_ref, img_ref, c_ref, d_ref,
               ).astype(jnp.float32)
     g_cols = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1
                                       ).astype(jnp.float32)
-    x_out[:] = z * ((g_cols - cx) / fx)
-    y_out[:] = z * ((g_rows - cy) / fy)
+    # Scalar reciprocals once per block; per-pixel multiply instead of
+    # the (much slower) per-pixel divide.
+    inv_fx = 1.0 / fx
+    inv_fy = 1.0 / fy
+    x_out[:] = z * ((g_cols - cx) * inv_fx)
+    y_out[:] = z * ((g_rows - cy) * inv_fy)
     z_out[:] = z
     pu_out[:] = pu
 
@@ -132,7 +136,7 @@ def heterodyne_decode_pallas(images: jax.Array, c: jax.Array, d: jax.Array,
                              n_steps: int = 4,
                              min_modulation: Optional[float] = 2.0,
                              fov_min: float = 10.0, fov_max: float = 100.0,
-                             block_h: int = 64, interpret: bool = False
+                             block_h: int = 16, interpret: bool = False
                              ) -> Tuple[jax.Array, ...]:
     """Fused heterodyne decode. ``images`` is (F*n_steps, H, W) uint8,
     finest frequency first; ``scalars`` is a (1, 8) f32 SMEM array

@@ -49,11 +49,18 @@ def atan2(y, x):
     ay = jnp.abs(y)
     mx = jnp.maximum(ax, ay)
     mn = jnp.minimum(ax, ay)
-    t = mn / jnp.maximum(mx, jnp.float32(1e-30))     # [0, 1]
-    big = t > jnp.float32(_TAN_PI_8)
-    tf = (t - 1.0) / (t + 1.0)                       # fold into (-0.414, 0]
-    r = jnp.where(big, jnp.float32(0.25 * _PI) + _atan_poly(tf),
-                  _atan_poly(t))
+    # One division instead of two: with t = mn/mx, the Cephes tail fold
+    # (t-1)/(t+1) equals (mn-mx)/(mn+mx), and the split predicate
+    # t > tan(pi/8) is mn > tan(pi/8)*mx — both division-free, so the
+    # numerator/denominator can be selected BEFORE the single divide.
+    # Divides are the VPU's slowest ops; this measurably speeds the
+    # fused decode kernels, which evaluate 1-3 atan2 per pixel.
+    big = mn > jnp.float32(_TAN_PI_8) * mx
+    num = jnp.where(big, mn - mx, mn)
+    den = jnp.where(big, mn + mx, mx)
+    t = num / jnp.maximum(den, jnp.float32(1e-30))   # (-0.414, 0.414]
+    r = _atan_poly(t) + jnp.where(big, jnp.float32(0.25 * _PI),
+                                  jnp.float32(0.0))
     r = jnp.where(ay > ax, jnp.float32(0.5 * _PI) - r, r)
     r = jnp.where(x < 0, jnp.float32(_PI) - r, r)
     r = jnp.where(mx == 0, jnp.float32(0.0), r)      # atan2(0, 0) = 0
