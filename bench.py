@@ -206,6 +206,28 @@ def bench_config4():
     emit("c4_stream_fps_2mp_device_feed", round(fps_t, 2), "fps",
          round(fps_t / 60.0, 3))
 
+    # (a') the on-chip config-4 headline: per-frame DEVICE time of the
+    # streaming step loop, carried state and all, measured from the
+    # profiler trace. The wall numbers above/below include per-step
+    # RPC dispatch through the TPU tunnel (~ms each, absent on a
+    # co-located host); this is what the chip itself sustains.
+    from slc_tpu.devtime import device_time_s
+    from slc_tpu.dynamic import dynamic_step
+    import itertools as _it
+
+    box = [fresh_state()]
+    feed = _it.cycle(dev_frames)
+
+    def one_step():
+        st, res = dynamic_step(box[0], next(feed), tables, cfg)
+        box[0] = st
+        return res.z
+
+    dt_dev = device_time_s(one_step, n=30)
+    emit("c4_stream_fps_2mp_device_timed", round(1.0 / dt_dev, 1),
+         "fps", round(1.0 / dt_dev / 60.0, 3),
+         device_ms=round(dt_dev * 1e3, 4))
+
     # (b) host feed: one 2 MB uint8 H2D per frame, no result fetch.
     host_frames = list(frames[1:])
     _, st_h = run_streaming(fresh_state(), host_frames, tables, cfg,

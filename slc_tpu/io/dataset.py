@@ -144,11 +144,48 @@ class ReplayDataset:
         return np.stack([read_bmp(self._aframe_path(f, "vFringeCam", i))
                          for i in range(count)])
 
-    def frames(self, start: int = 0, prefetch: int = 4
-               ) -> Iterator[np.ndarray]:
-        """Iterate dynamic frames with background-thread read-ahead so
-        decode on device overlaps disk I/O (the streaming analog of the
-        reference's per-frame synchronous imread, CSensorV.cpp:111)."""
+    def frames(self, start: int = 0, prefetch: int = 4,
+               native: bool = True) -> Iterator[np.ndarray]:
+        """Iterate dynamic frames with background read-ahead so decode
+        on device overlaps disk I/O (the streaming analog of the
+        reference's per-frame synchronous imread, CSensorV.cpp:111).
+
+        When the native I/O library is available (``native=True``), the
+        frames are decoded by its C++ thread pool (slc_io.cpp SlcLoader:
+        parallel BMP decode into a ring buffer, ordered delivery);
+        otherwise a single Python read-ahead thread is used."""
+        if native and start < self.frame_count:
+            it = self._native_frames(start, prefetch)
+            if it is not None:
+                yield from it
+                return
+        yield from self._python_frames(start, prefetch)
+
+    def _native_frames(self, start: int, prefetch: int):
+        """C++ thread-pool loader over the dynamic frames, or None when
+        the native library can't serve them (unavailable, or the first
+        frame isn't a BMP this codec handles)."""
+        from slc_tpu.io import native as native_io
+        if native_io.lib() is None:
+            return None
+        m = self.manifest or {}
+        h, w = m.get("cam_h"), m.get("cam_w")
+        if h is None or w is None:
+            try:
+                h, w = read_bmp(self._cframe_path(start)).shape
+            except Exception:
+                return None
+        paths = [self._cframe_path(i)
+                 for i in range(start, self.frame_count)]
+        try:
+            return native_io.NativeFrameLoader(
+                paths, int(h), int(w), slots=max(prefetch, 2),
+                threads=min(4, max(prefetch, 1)))
+        except RuntimeError:
+            return None
+
+    def _python_frames(self, start: int, prefetch: int
+                       ) -> Iterator[np.ndarray]:
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = threading.Event()
 
@@ -205,8 +242,10 @@ class FaultInjector:
                                      dtype=np.uint8)
         return img
 
-    def frames(self, start: int = 0, prefetch: int = 4):
-        # Sequential (no prefetch thread) so faults surface in order.
+    def frames(self, start: int = 0, prefetch: int = 4,
+               native: bool = False):
+        # Sequential (no prefetch thread/native pool) so faults surface
+        # in order; ``native`` accepted for interface parity, ignored.
         for i in range(start, self.ds.frame_count):
             yield self.frame(i)
 

@@ -10,10 +10,16 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC slc_io.cpp -o libslc_io.so
 
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -232,6 +238,127 @@ long slc_write_xyz(const char* path, const float* x, const float* y,
   free(buf);
   fclose(f);
   return count;
+}
+
+}  // extern "C"
+
+// ------------------------------------------------------------------
+// Threaded prefetch loader: decodes a fixed list of grayscale BMPs with
+// a worker pool into a ring of preallocated slots, delivering frames to
+// the (single) consumer strictly in order. This is the runtime role the
+// reference fills with one synchronous cv::imread per dynamic frame
+// inside the tracking loop (DynaFrame/CSensorV.cpp:111-114,
+// CCalculation.cpp:791-795); here decode parallelism and read-ahead
+// hide disk + decode latency under device compute. Single-consumer
+// contract: slc_loader_next must not be called concurrently.
+
+struct SlcLoader {
+  std::vector<std::string> paths;
+  int h, w, slots;
+  std::vector<uint8_t> ring;     // slots * h * w
+  std::vector<long> slot_frame;  // frame occupying the slot, -1 = free
+  std::vector<int> slot_state;   // 0 free, 1 decoding, 2 ready
+  std::vector<int> slot_err;
+  long next_job = 0;   // next frame index a worker will decode
+  long next_out = 0;   // next frame index the consumer receives
+  bool stop = false;
+  std::mutex m;
+  std::condition_variable cv;
+  std::vector<std::thread> workers;
+};
+
+static void slc_loader_worker(SlcLoader* L) {
+  for (;;) {
+    long job;
+    int s;
+    {
+      std::unique_lock<std::mutex> lk(L->m);
+      for (;;) {
+        if (L->stop) return;
+        if (L->next_job >= (long)L->paths.size()) return;
+        s = (int)(L->next_job % L->slots);
+        if (L->slot_state[s] == 0) break;  // ring slot for this job free
+        L->cv.wait(lk);
+      }
+      job = L->next_job++;
+      L->slot_state[s] = 1;
+      L->slot_frame[s] = job;
+      L->cv.notify_all();  // other workers re-check their target slot
+    }
+    const int err = slc_bmp_read_gray(
+        L->paths[job].c_str(),
+        L->ring.data() + (size_t)s * L->h * L->w, L->h, L->w);
+    {
+      std::lock_guard<std::mutex> lk(L->m);
+      L->slot_state[s] = 2;
+      L->slot_err[s] = err;
+      L->cv.notify_all();
+    }
+  }
+}
+
+extern "C" {
+
+// Creates a loader over n paths of (h, w) grayscale BMPs. slots is the
+// read-ahead ring depth, threads the decode pool size. Returns NULL on
+// bad arguments.
+void* slc_loader_create(const char** paths, long n, int h, int w,
+                        int slots, int threads) {
+  if (n <= 0 || h <= 0 || w <= 0) return nullptr;
+  if (slots < 1) slots = 1;
+  if (threads < 1) threads = 1;
+  if (threads > slots) threads = slots;
+  SlcLoader* L = new SlcLoader();
+  L->paths.reserve(n);
+  for (long i = 0; i < n; ++i) L->paths.emplace_back(paths[i]);
+  L->h = h;
+  L->w = w;
+  L->slots = slots;
+  L->ring.resize((size_t)slots * h * w);
+  L->slot_frame.assign(slots, -1);
+  L->slot_state.assign(slots, 0);
+  L->slot_err.assign(slots, 0);
+  for (int t = 0; t < threads; ++t)
+    L->workers.emplace_back(slc_loader_worker, L);
+  return L;
+}
+
+// Copies the next frame (in submission order) into out (h*w bytes).
+// Returns 0 on success, 1 at end-of-stream, <0 if THIS frame failed to
+// decode (the stream continues; out is untouched).
+int slc_loader_next(void* hp, uint8_t* out) {
+  SlcLoader* L = (SlcLoader*)hp;
+  std::unique_lock<std::mutex> lk(L->m);
+  if (L->next_out >= (long)L->paths.size()) return 1;
+  const int s = (int)(L->next_out % L->slots);
+  L->cv.wait(lk, [&] {
+    return L->slot_state[s] == 2 && L->slot_frame[s] == L->next_out;
+  });
+  const int err = L->slot_err[s];
+  if (err == 0) {
+    // Slot stays state 2 / owned by next_out while unlocked: no worker
+    // claims a non-free slot and there is a single consumer.
+    lk.unlock();
+    memcpy(out, L->ring.data() + (size_t)s * L->h * L->w,
+           (size_t)L->h * L->w);
+    lk.lock();
+  }
+  L->slot_state[s] = 0;
+  L->slot_frame[s] = -1;
+  L->next_out++;
+  L->cv.notify_all();
+  return err;
+}
+
+void slc_loader_destroy(void* hp) {
+  SlcLoader* L = (SlcLoader*)hp;
+  {
+    std::lock_guard<std::mutex> lk(L->m);
+    L->stop = true;
+    L->cv.notify_all();
+  }
+  for (auto& t : L->workers) t.join();
+  delete L;
 }
 
 }  // extern "C"

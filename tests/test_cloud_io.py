@@ -200,3 +200,60 @@ def test_store_images_batch(tmp_path, rng):
     for i in (5, 6, 7):
         np.testing.assert_array_equal(
             read_bmp(os.path.join(d, f"img{i}.bmp")), imgs[i - 5])
+
+
+def test_resize_bilinear_zoom():
+    from slc_tpu.visualization import resize_bilinear
+    img = np.arange(64, dtype=np.float64).reshape(8, 8)
+    # zoom 1.0 is identity (and the same object's values).
+    np.testing.assert_array_equal(resize_bilinear(img, 1.0), img)
+    # Integer upscale of a linear ramp stays a linear ramp: bilinear
+    # interpolation reproduces linear functions exactly (interior).
+    up = resize_bilinear(img, 2.0)
+    assert up.shape == (16, 16)
+    # Row gradient halves when the image doubles.
+    interior = up[2:-2, 2:-2]
+    d = np.diff(interior, axis=1)
+    np.testing.assert_allclose(d, 0.5, atol=1e-12)
+    # Downscale to half: shape floors like cv::Size(w*zoom, h*zoom).
+    down = resize_bilinear(img, 0.5)
+    assert down.shape == (4, 4)
+    # uint8 round-trips through the integer clip path.
+    u8 = resize_bilinear(img.astype(np.uint8), 2.0)
+    assert u8.dtype == np.uint8 and u8.shape == (16, 16)
+
+
+def test_normalize_depth_u16_exact():
+    from slc_tpu.visualization import normalize_depth_u16
+    d = np.array([[100, 200], [300, 400]], np.uint16)
+    got = normalize_depth_u16(d)
+    # Exact reference arithmetic: (v-min)/(max-min)*255, truncated
+    # (depthMapUtils.cpp:204-209).
+    want = ((d.astype(np.float64) - 100) / 300.0 * 255.0).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+    # No static min/max cache: a second call with a different range
+    # re-normalizes (the reference bug at depthMapUtils.cpp:198-199).
+    d2 = d + 1000
+    np.testing.assert_array_equal(normalize_depth_u16(d2), want)
+    flat = np.full((2, 2), 7, np.uint16)
+    np.testing.assert_array_equal(normalize_depth_u16(flat),
+                                  np.zeros((2, 2), np.uint8))
+
+
+def test_normalize_f64_max_scale_quirk():
+    from slc_tpu.visualization import normalize_f64
+    # Ceiling is 0.01*max (normalize64FImage, depthMapUtils.cpp:249):
+    # everything above it saturates at 255.
+    d = np.array([[0.0, 1.0], [50.0, 100.0]])
+    got = normalize_f64(d)
+    assert got[0, 0] == 0
+    assert got[0, 1] == 255  # 1.0 == 0.01*100 -> exactly the ceiling
+    assert got[1, 0] == 255 and got[1, 1] == 255
+
+
+def test_show_zoom(tmp_path):
+    from slc_tpu import visualization as vis
+    img = np.linspace(0, 255, 64).reshape(8, 8)
+    p = vis.show("zoomed", img, out_dir=str(tmp_path), zoom=2.0,
+                 force=True)
+    assert read_bmp(p).shape == (16, 16)
