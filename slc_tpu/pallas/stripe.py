@@ -109,7 +109,7 @@ def _stripe_kernel(frame_hbm, sw_ref, sb_ref, scratch, sem, *,
                    static_argnames=("window", "subpixel", "block_h",
                                     "interpret"))
 def stripe_regression_pallas(frame: jax.Array, window: int = 21,
-                             subpixel: bool = True, block_h: int = 32,
+                             subpixel: bool = True, block_h: int = 16,
                              interpret: bool = False
                              ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in replacement for slc_tpu.ops.stripe.stripe_regression.
