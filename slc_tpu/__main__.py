@@ -58,6 +58,78 @@ def _build_cfg(args, manifest=None):
             if updates else REFERENCE_CONFIG)
 
 
+def _cmd_fuse(args) -> int:
+    """Multi-scan registration CLI (BASELINE config 5 as a user flow):
+    load per-scan depth maps, jointly register them with alternating
+    projective association + point-to-plane Schur BA
+    (slc_tpu.fusion_frontend.register_scans), and write the poses plus
+    one fused world-frame cloud."""
+    import json
+    import os
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from slc_tpu import cloud
+    from slc_tpu.fusion_frontend import register_scans
+
+    if len(args.depths) < 2:
+        raise SystemExit("fuse needs at least 2 depth_iFrame.npz files")
+    zs, cam_k = [], None
+    for p in args.depths:
+        d = np.load(p)
+        if "z" not in d or "cam_k" not in d:
+            raise SystemExit(f"{p} is not a depth_iFrame.npz "
+                             "(expected arrays 'z' and 'cam_k')")
+        if cam_k is None:
+            cam_k = d["cam_k"]
+        elif not np.allclose(cam_k, d["cam_k"]):
+            raise SystemExit(f"{p} has a different cam_k: scans must "
+                             "come from the same rig")
+        if zs and d["z"].shape != zs[0].shape:
+            raise SystemExit(f"{p} depth shape {d['z'].shape} != "
+                             f"{zs[0].shape}")
+        zs.append(d["z"].astype(np.float32))
+    depths = np.stack(zs)
+    s = len(zs)
+    init_rot = np.tile(np.eye(3, dtype=np.float32), (s, 1, 1))
+    init_trans = np.zeros((s, 3), np.float32)
+    rot, trans = register_scans(
+        jnp.asarray(depths), jnp.asarray(cam_k), jnp.asarray(init_rot),
+        jnp.asarray(init_trans), rounds=args.rounds,
+        gn_iters=args.gn_iters, grid_step=args.grid_step,
+        max_depth_err=args.max_depth_err)
+    rot = np.asarray(rot)
+    trans = np.asarray(trans)
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "poses.json"), "w") as f:
+        json.dump({"scans": args.depths,
+                   "world_from_scan": [
+                       {"rot": rot[i].tolist(),
+                        "trans": trans[i].tolist()} for i in range(s)]},
+                  f, indent=1)
+
+    fx, fy = float(cam_k[0, 0]), float(cam_k[1, 1])
+    cx, cy = float(cam_k[0, 2]), float(cam_k[1, 2])
+    xs, ys, zw, valid = [], [], [], []
+    for i in range(s):
+        pts = np.asarray(cloud.depth_to_cloud(jnp.asarray(depths[i]),
+                                              fx, fy, cx, cy))
+        world = pts.reshape(-1, 3) @ rot[i].T + trans[i]
+        xs.append(world[:, 0])
+        ys.append(world[:, 1])
+        zw.append(world[:, 2])
+        valid.append(depths[i].reshape(-1) > 0)
+    n = cloud.write_xyz(os.path.join(args.out, "fused.txt"),
+                        np.concatenate(xs), np.concatenate(ys),
+                        np.concatenate(zw),
+                        mask=np.concatenate(valid))
+    print(f"fused {s} scans -> {args.out}/fused.txt ({n} points), "
+          f"poses.json")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="slc_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -76,6 +148,9 @@ def main(argv=None) -> int:
     runp.add_argument("--mode", choices=["gray", "heterodyne", "spatial"],
                       default="gray",
                       help="frame-0 absolute decode method")
+    runp.add_argument("--save-depth", action="store_true",
+                      help="also write depth_iFrame.npz (z + cam_k) "
+                           "for downstream `fuse`")
     _add_cfg_args(runp)
 
     sy = sub.add_parser("synth", help="render a synthetic replay dataset")
@@ -92,9 +167,28 @@ def main(argv=None) -> int:
                          "--scene plane")
     _add_cfg_args(sy)
 
+    fu = sub.add_parser(
+        "fuse", help="register multiple scans into one fused cloud "
+                     "(multi-scan Schur-complement bundle adjustment)")
+    fu.add_argument("depths", nargs="+",
+                    help="depth_iFrame.npz files from `run --save-depth`"
+                         " (>=2, same rig)")
+    fu.add_argument("--out", default="fused",
+                    help="output dir: poses.json + fused.txt")
+    fu.add_argument("--rounds", type=int, default=4,
+                    help="association<->BA alternations")
+    fu.add_argument("--gn-iters", type=int, default=5)
+    fu.add_argument("--grid-step", type=int, default=8,
+                    help="landmark sampling stride (px)")
+    fu.add_argument("--max-depth-err", type=float, default=1.0,
+                    help="projective-association gate (scene units)")
+
     sub.add_parser("bench", help="run the repo benchmark")
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "fuse":
+        return _cmd_fuse(args)
 
     if args.cmd == "bench":
         sys.path.insert(0, ".")
@@ -171,7 +265,8 @@ def main(argv=None) -> int:
             args.dataset, args.calib, args.out, cfg,
             max_frames=args.max_frames, write_clouds=not args.no_clouds,
             checkpoint_every=args.checkpoint_every, resume=args.resume,
-            scale_gradient=not ref, subpixel=not ref, mode=args.mode)
+            scale_gradient=not ref, subpixel=not ref, mode=args.mode,
+            save_depth=args.save_depth)
         last = report.metrics.records[-1] if report.metrics.records else {}
         print(f"done: frames={report.frames_done} "
               f"first_frame_points={report.first_frame_points} "

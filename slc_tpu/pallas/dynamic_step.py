@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from slc_tpu.pallas.mathx import sliding_row_sum
+
 PAD = 8  # row padding so halo DMA offsets stay 8/32-aligned
 
 
@@ -113,9 +115,7 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
     # domain = global row i*bh - 1 + j = scratch row OFF + j.
     OFF = PAD - 1                     # first compute row in scratch
     n_strip = bh + 2
-    vs = f[OFF:OFF + n_strip, :]
-    for k in range(1, window):
-        vs = vs + f[OFF + k:OFF + k + n_strip, :]
+    vs = sliding_row_sum(f, OFF, n_strip, window)
 
     row0 = i * bh - 1
     rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (n_strip, pad_w), 0)

@@ -65,3 +65,35 @@ def atan2(y, x):
     r = jnp.where(x < 0, jnp.float32(_PI) - r, r)
     r = jnp.where(mx == 0, jnp.float32(0.0), r)      # atan2(0, 0) = 0
     return jnp.where(y < 0, -r, r)
+
+
+def sliding_row_sum(f, base: int, n_out: int, window: int):
+    """Vertical sliding-window sum: ``out[k, :] = sum_{j<window}
+    f[base+k+j, :]`` for k in [0, n_out), as a hierarchical
+    power-of-two decomposition (doubling partial sums, then one add per
+    set bit of ``window``) — O(log window + popcount) full-array adds
+    instead of the naive window-1. This is the 21-row rolling column
+    sum of the reference's StripRegression (CCalculation.cpp:797-823),
+    which it computes with a per-column rolling scalar DP the VPU can't
+    use. Requires f.shape[0] >= base + n_out + window - 1.
+    """
+    assert window >= 1
+    assert f.shape[0] >= base + n_out + window - 1, (
+        f.shape, base, n_out, window)
+    # sums[p][k] = sum f[k : k+p]; doubling: sums[2p][k] =
+    # sums[p][k] + sums[p][k+p].
+    sums = {1: f}
+    p = 1
+    while 2 * p <= window:
+        prev = sums[p]
+        sums[2 * p] = prev[:prev.shape[0] - p] + prev[p:]
+        p *= 2
+    out = None
+    off = base
+    while p >= 1:
+        if window & p:
+            seg = sums[p][off:off + n_out]
+            out = seg if out is None else out + seg
+            off += p
+        p //= 2
+    return out

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from slc_tpu.pallas.mathx import sliding_row_sum
+
 
 def _stripe_kernel(frame_hbm, sw_ref, sb_ref, scratch, sem, *,
                    window: int, subpixel: bool, block_h: int,
@@ -41,10 +43,10 @@ def _stripe_kernel(frame_hbm, sw_ref, sb_ref, scratch, sem, *,
     f = scratch[:].astype(jnp.int32).astype(jnp.float32)
 
     # Vertical box sum for the block's rows: out row k (global
-    # i*block_h + k) sums padded rows k .. k+2r.
-    vs = f[0:block_h, :]
-    for k in range(1, window):
-        vs = vs + f[k:k + block_h, :]
+    # i*block_h + k) sums padded rows k .. k+2r. Hierarchical
+    # decomposition (log2 adds); exact for the integer-valued pixel
+    # sums regardless of association.
+    vs = sliding_row_sum(f, 0, block_h, window)
 
     # Interior mask in global coordinates (CCalculation.cpp:801,817).
     row0 = i * block_h

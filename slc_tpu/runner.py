@@ -49,7 +49,8 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                fault_corrupt_prob: float = 0.0,
                fault_seed: int = 0,
                mode: str = "gray",
-               use_anchors: bool = True) -> RunReport:
+               use_anchors: bool = True,
+               save_depth: bool = False) -> RunReport:
     """Run the full reference pipeline over a replay dataset.
 
     ``mode`` selects the frame-0 absolute decode: "gray" (the
@@ -106,6 +107,13 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
             n_pts = cloud.write_xyz(os.path.join(out_dir, "iFrame.txt"),
                                     np.asarray(first.x), np.asarray(first.y),
                                     np.asarray(first.z))
+    if save_depth:
+        # Machine-readable depth for downstream multi-scan fusion
+        # (``python -m slc_tpu fuse``): the ASCII clouds drop pixel
+        # indexing, which projective association needs.
+        np.savez(os.path.join(out_dir, "depth_iFrame.npz"),
+                 z=np.asarray(first.z, np.float32),
+                 cam_k=np.asarray(calib.cam_k, np.float32))
     log.log_frame(0, frame_stats(first.z))
 
     # --- dynamic loop (CalculateOther) -------------------------------

@@ -168,3 +168,24 @@ def test_pallas_fused_grayphase_matches_xla(rng):
                                    atol=1e-3)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref.y),
                                    atol=1e-3)
+
+
+def test_sliding_row_sum_matches_naive(rng):
+    """mathx.sliding_row_sum (hierarchical power-of-two decomposition)
+    vs the naive window sum, across bases, window sizes (incl. 1 and a
+    pure power of two), and non-aligned offsets. Integer-valued input
+    makes f32 addition exact under any association — the property the
+    stripe/dynamic kernels rely on."""
+    from slc_tpu.pallas.mathx import sliding_row_sum
+    f_int = jnp.asarray(
+        rng.integers(0, 256, (64, 8)).astype(np.float32))
+    for base, n_out, w in [(0, 16, 21), (7, 30, 21), (0, 40, 21),
+                           (3, 10, 1), (0, 8, 32), (2, 5, 7),
+                           (1, 12, 2)]:
+        got = np.asarray(sliding_row_sum(f_int, base, n_out, w))
+        want = np.stack([np.asarray(f_int)[base + k:base + k + w].sum(0)
+                         for k in range(n_out)])
+        np.testing.assert_array_equal(got, want)
+    # Bounds are asserted, not silently wrong.
+    with pytest.raises(AssertionError):
+        sliding_row_sum(f_int, 50, 10, 21)
