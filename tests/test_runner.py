@@ -160,3 +160,62 @@ def test_run_replay_reanchors(tmp_path):
                          out2, CFG, use_anchors=False)
     recs2 = {r["frame"]: r for r in report2.metrics.records}
     assert "reanchor" not in recs2[4]
+
+
+def test_run_replay_heterodyne_mode(tmp_path):
+    """--mode heterodyne end-to-end: frame 0 decoded from the
+    vFringeCam multi-frequency stack (no Gray images needed)."""
+    from slc_tpu.config import HeterodyneConfig
+
+    root = str(tmp_path / "ds")
+    out = str(tmp_path / "out")
+    calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
+                                  pro_h=CFG.pro_h, pro_w=CFG.pro_w)
+    scene = synth.render_static_scene(calib, CFG,
+                                      synth.plane_surface(50.0),
+                                      noise_sigma=1.0)
+    het = HeterodyneConfig(phase_steps=CFG.phase_steps)
+    fringes, _, _ = synth.render_fringe_stack(
+        calib, CFG, synth.plane_surface(50.0), het.periods(CFG.pro_w),
+        het.phase_steps, noise_sigma=1.0)
+    write_replay_dataset(root, scene.gray_images, scene.phase_images,
+                         fringe_images=fringes)
+    save_calibration(os.path.join(root, "parameters.yml"), calib)
+
+    report = run_replay(root, os.path.join(root, "parameters.yml"), out,
+                        CFG, mode="heterodyne")
+    assert report.first_frame_points > 0.95 * CFG.cam_h * CFG.cam_w
+    pts = np.loadtxt(os.path.join(out, "iFrame.txt"))
+    assert (np.abs(pts[:, 2] - 50.0) < 1.0).mean() > 0.99
+
+
+def test_run_replay_spatial_mode(tmp_path):
+    """--mode spatial end-to-end: frame 0 decoded from the single
+    phase-shift frequency with quality-guided spatial unwrapping.
+
+    Without an anchor the result is absolute only up to ONE global
+    period offset (decode_spatial_frame docstring), so assert (a) the
+    runner dispatch exactly matches the direct pipeline call and (b)
+    the cloud is structurally valid (dense, inside the FOV window)."""
+    from slc_tpu.calib import build_tables
+    from slc_tpu.io.dataset import ReplayDataset
+    from slc_tpu.pipeline import decode_spatial_frame
+
+    root = str(tmp_path / "ds")
+    out = str(tmp_path / "out")
+    calib, _, _ = _make_dataset(root)
+    report = run_replay(root, os.path.join(root, "parameters.yml"), out,
+                        CFG, mode="spatial", max_frames=2)
+    assert report.first_frame_points > 0.9 * CFG.cam_h * CFG.cam_w
+    pts = np.loadtxt(os.path.join(out, "iFrame.txt"))
+    assert ((pts[:, 2] >= CFG.fov_min) & (pts[:, 2] <= CFG.fov_max)).all()
+
+    tables = build_tables(calib, CFG.cam_h, CFG.cam_w)
+    ds = ReplayDataset(root)
+    direct = decode_spatial_frame(jnp.asarray(ds.phase_images()),
+                                  tables, CFG,
+                                  float(CFG.phase_period))
+    dz = np.asarray(direct.z)
+    got = np.sort(pts[:, 2])
+    want = np.sort(dz[dz > 0])
+    np.testing.assert_allclose(got, want, atol=1e-4)
