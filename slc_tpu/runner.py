@@ -161,7 +161,8 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
             # frame's output is a fresh absolute decode; the tracker
             # state is rebuilt from it and the current fringe frame.
             with stage("slc/reanchor", log):
-                res = _decode_anchor(ds, f, tables, cfg, mode)
+                res = _decode_anchor(ds, f, tables, cfg, mode,
+                                     prev_proj_u=state.proj_u)
                 state = reanchor(state, jnp.asarray(frame), res.proj_u,
                                  res.z, cfg, subpixel)
                 state = dataclasses.replace(state,
@@ -195,8 +196,16 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
     return RunReport(done, n_pts, log)
 
 
-def _decode_anchor(ds, f: int, tables, cfg: SystemConfig, mode: str):
-    """Absolute decode of the aFrame{f} pattern group, per mode."""
+def _decode_anchor(ds, f: int, tables, cfg: SystemConfig, mode: str,
+                   prev_proj_u=None):
+    """Absolute decode of the aFrame{f} pattern group, per mode.
+
+    ``prev_proj_u`` (the tracker's current absolute map) anchors the
+    spatial mode's unwrap: a spatial decode is absolute only up to one
+    global period offset, so an unanchored re-anchor could snap the
+    sequence onto a different fringe order and inject a period-sized
+    depth jump mid-sequence. Gray and heterodyne decodes are absolute
+    on their own and ignore it."""
     if mode == "gray":
         return decode_first_frame(jnp.asarray(ds.anchor_gray_images(f)),
                                   jnp.asarray(ds.anchor_phase_images(f)),
@@ -208,4 +217,5 @@ def _decode_anchor(ds, f: int, tables, cfg: SystemConfig, mode: str):
             jnp.asarray(ds.anchor_fringe_images(f, het.num_images)),
             tables, cfg, het)
     return decode_spatial_frame(jnp.asarray(ds.anchor_phase_images(f)),
-                                tables, cfg, float(cfg.phase_period))
+                                tables, cfg, float(cfg.phase_period),
+                                anchor=prev_proj_u)

@@ -219,3 +219,48 @@ def test_run_replay_spatial_mode(tmp_path):
     got = np.sort(pts[:, 2])
     want = np.sort(dz[dz > 0])
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_run_replay_spatial_reanchor_keeps_fringe_order(tmp_path):
+    """Spatial-mode re-anchoring must not snap the sequence onto a
+    different global period offset: the re-anchor decode is pinned to
+    the tracker's current absolute map (runner._decode_anchor
+    prev_proj_u). Without the pin, the fresh spatial unwrap is absolute
+    only up to one global period and can inject a period-sized depth
+    jump at the anchor frame."""
+    from slc_tpu.io.dataset import write_anchor_group
+
+    root = str(tmp_path / "ds")
+    out = str(tmp_path / "out")
+    calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
+                                  pro_h=CFG.pro_h, pro_w=CFG.pro_w)
+    z0, dz = 50.0, 0.3
+    scene = synth.render_static_scene(calib, CFG,
+                                      synth.plane_surface(z0),
+                                      noise_sigma=1.0)
+    frames, zs, _ = synth.render_dynamic_sequence(
+        calib, CFG, 6, z0=z0, dz_per_frame=dz, stripe_period=12,
+        noise_sigma=1.0)
+    write_replay_dataset(root, scene.gray_images, scene.phase_images,
+                         frames)
+    asc = synth.render_static_scene(calib, CFG,
+                                    synth.plane_surface(z0 + 4 * dz),
+                                    noise_sigma=1.0, seed=5)
+    write_anchor_group(root, 4, asc.gray_images, asc.phase_images)
+    save_calibration(os.path.join(root, "parameters.yml"), calib)
+
+    report = run_replay(root, os.path.join(root, "parameters.yml"), out,
+                        CFG, mode="spatial")
+    assert report.frames_done == 5
+    recs = {r["frame"]: r for r in report.metrics.records}
+    assert recs[4].get("reanchor") is True
+
+    # Depth continuity across the re-anchor: whatever global offset the
+    # spatial frame-0 decode picked, frames 3 -> 4 -> 5 must move by
+    # ~dz, not by a fringe-period-sized jump.
+    med = {}
+    for f in (3, 4, 5):
+        pts = np.loadtxt(os.path.join(out, f"cFrame{f}.txt"))
+        med[f] = np.median(pts[:, 2])
+    assert abs(med[4] - med[3]) < 5 * dz, med
+    assert abs(med[5] - med[4]) < 5 * dz, med
