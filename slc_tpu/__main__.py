@@ -58,6 +58,63 @@ def _build_cfg(args, manifest=None):
             if updates else REFERENCE_CONFIG)
 
 
+def _cmd_capture(args, cfg) -> int:
+    """Acquisition workflow (the reference's not-compiled live mode,
+    CCamera.cpp:94-118 / CProjector.cpp:46-76 / main.cpp:50-76): drive
+    a Sensor through the synchronous project->capture loop over the
+    frame-0 pattern budget (+ per-frame stripe captures of a moving
+    plane) and write the result as a standard replay dataset. The
+    built-in sensor is the analytic SimulatedRig; real hardware is a
+    `capture.Sensor` protocol implementation."""
+    import os
+
+    import numpy as np
+
+    from slc_tpu import patterns, synth
+    from slc_tpu.calib import synthetic_calibration
+    from slc_tpu.capture import (SimulatedRig, capture_sequence,
+                                 structured_light_patterns)
+    from slc_tpu.io.dataset import write_replay_dataset
+    from slc_tpu.io.opencv_yaml import save_calibration
+
+    calib = synthetic_calibration(cam_h=cfg.cam_h, cam_w=cfg.cam_w,
+                                  pro_h=cfg.pro_h, pro_w=cfg.pro_w)
+    z0, dz = 50.0, 0.08
+    surface = (synth.sphere_surface() if args.scene == "sphere"
+               else synth.plane_surface(z0))
+    rig = SimulatedRig(calib, cfg, surface, noise_sigma=args.noise)
+    imgs = capture_sequence(rig, structured_light_patterns(cfg))
+    gray = np.stack(imgs[:2 * cfg.gray_bits])
+    phase = np.stack(imgs[2 * cfg.gray_bits:])
+
+    frames = None
+    if args.frames:
+        stripe = patterns.stripe_pattern(cfg.pro_w, cfg.pro_h,
+                                         args.stripe_period)
+        caps = []
+        for f in range(args.frames):
+            rig_f = SimulatedRig(calib, cfg,
+                                 synth.plane_surface(z0 + dz * f),
+                                 noise_sigma=args.noise, seed=f + 1)
+            caps.extend(capture_sequence(rig_f, [stripe]))
+        frames = np.stack(caps)
+
+    write_replay_dataset(args.out, gray, phase, frames,
+                         config_fields={
+                             "pro_h": cfg.pro_h, "pro_w": cfg.pro_w,
+                             "gray_bits": cfg.gray_bits,
+                             "phase_steps": cfg.phase_steps,
+                             "scene": args.scene,
+                             "noise_sigma": args.noise,
+                             "captured": True,
+                         })
+    os.makedirs(args.out, exist_ok=True)
+    save_calibration(os.path.join(args.out, "parameters.yml"), calib)
+    print(f"captured dataset -> {args.out} ({len(gray)} gray + "
+          f"{len(phase)} phase + {args.frames} dynamic frames)")
+    return 0
+
+
 def _cmd_fuse(args) -> int:
     """Multi-scan registration CLI (BASELINE config 5 as a user flow):
     load per-scan depth maps, jointly register them with alternating
@@ -167,6 +224,21 @@ def main(argv=None) -> int:
                          "--scene plane")
     _add_cfg_args(sy)
 
+    cap = sub.add_parser(
+        "capture", help="acquire a replay dataset through the "
+                        "project->capture loop (live-mode workflow, "
+                        "CCamera/CProjector roles; simulated rig here)")
+    cap.add_argument("out", help="dataset root to create")
+    cap.add_argument("--scene", choices=["plane", "sphere"],
+                     default="sphere")
+    cap.add_argument("--frames", type=int, default=0,
+                     help="dynamic frames to capture (moving plane "
+                          "lit by the single stripe pattern)")
+    cap.add_argument("--noise", type=float, default=1.0,
+                     help="sensor read-noise sigma (gray levels)")
+    cap.add_argument("--stripe-period", type=int, default=12)
+    _add_cfg_args(cap)
+
     fu = sub.add_parser(
         "fuse", help="register multiple scans into one fused cloud "
                      "(multi-scan Schur-complement bundle adjustment)")
@@ -257,6 +329,9 @@ def main(argv=None) -> int:
               f"({2 * cfg.gray_bits} gray + {cfg.phase_steps} phase + "
               f"{args.frames} dynamic frames, calib parameters.yml)")
         return 0
+
+    if args.cmd == "capture":
+        return _cmd_capture(args, cfg)
 
     if args.cmd == "run":
         from slc_tpu.runner import run_replay

@@ -39,3 +39,30 @@ def test_replay_sensor_sequencing(rng):
     s = ReplaySensor(imgs)
     got = capture_sequence(s, [None, None, None])
     np.testing.assert_array_equal(np.stack(got), imgs)
+
+
+def test_capture_cli_dataset_reconstructs(tmp_path):
+    """`python -m slc_tpu capture` acquires a dataset through the
+    project->capture loop that `run` then reconstructs accurately —
+    the live-mode acquisition workflow end-to-end."""
+    import os
+    from slc_tpu.__main__ import main as cli_main
+    from slc_tpu.runner import run_replay
+    from slc_tpu.config import SystemConfig
+
+    root = str(tmp_path / "cap")
+    rc = cli_main(["capture", root, "--scene", "plane", "--frames", "3",
+                   "--cam", "96x160", "--pro", "96x640",
+                   "--gray-bits", "5"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(root, "iFrame", "vGrayCam9.bmp"))
+    assert os.path.exists(os.path.join(root, "cFrame", "dynaCam2.bmp"))
+
+    cfg = SystemConfig(cam_h=96, cam_w=160, pro_h=96, pro_w=640,
+                       gray_bits=5)
+    out = str(tmp_path / "out")
+    report = run_replay(root, os.path.join(root, "parameters.yml"), out,
+                        cfg)
+    assert report.frames_done == 2
+    pts = np.loadtxt(os.path.join(out, "iFrame.txt"))
+    assert (np.abs(pts[:, 2] - 50.0) < 1.0).mean() > 0.99
