@@ -36,13 +36,16 @@ def device_time_s(fn: Callable[[], object], n: int = 20,
     jax.block_until_ready(fn())            # warm-up / compile
     tmp = tempfile.mkdtemp(prefix="slc_devtime_")
     try:
-        t0 = time.perf_counter()
         with jax.profiler.trace(tmp):
+            # Wall fallback timed around the loop only — the trace
+            # context's exit serializes the trace to disk and must not
+            # count against the kernel.
+            t0 = time.perf_counter()
             out = None
             for _ in range(n):
                 out = fn()
             jax.block_until_ready(out)
-        wall = (time.perf_counter() - t0) / n
+            wall = (time.perf_counter() - t0) / n
         traces = glob.glob(
             os.path.join(tmp, "**", "*.trace.json.gz"), recursive=True)
         if not traces:

@@ -175,6 +175,20 @@ class ReplayDataset:
                 h, w = read_bmp(self._cframe_path(start)).shape
             except Exception:
                 return None
+        # Probe the first frame's header with the native codec: a
+        # shape/format the codec rejects (e.g. on-disk size differing
+        # from the manifest) must fall back to the Python reader, not
+        # raise mid-iteration.
+        import ctypes
+        ph = ctypes.c_int()
+        pw = ctypes.c_int()
+        pb = ctypes.c_int()
+        rc = native_io.lib().slc_bmp_probe(
+            os.fsencode(self._cframe_path(start)),
+            ctypes.byref(ph), ctypes.byref(pw), ctypes.byref(pb))
+        if rc != 0 or ph.value != h or pw.value != w \
+                or pb.value not in (8, 24, 32):
+            return None
         paths = [self._cframe_path(i)
                  for i in range(start, self.frame_count)]
         try:

@@ -55,6 +55,12 @@ def atan2(y, x):
     # numerator/denominator can be selected BEFORE the single divide.
     # Divides are the VPU's slowest ops; this measurably speeds the
     # fused decode kernels, which evaluate 1-3 atan2 per pixel.
+    # mn + mx can overflow f32 for inputs near the type max (the old
+    # two-divide form never added magnitudes); the fold ratio is
+    # scale-invariant, so halve both operands in that range first.
+    huge = mx > jnp.float32(1.7e38)
+    mn = jnp.where(huge, mn * 0.5, mn)
+    mx = jnp.where(huge, mx * 0.5, mx)
     big = mn > jnp.float32(_TAN_PI_8) * mx
     num = jnp.where(big, mn - mx, mn)
     den = jnp.where(big, mn + mx, mx)

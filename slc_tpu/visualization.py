@@ -38,8 +38,10 @@ def resize_bilinear(img, zoom: float) -> np.ndarray:
     x0 = np.floor(sx).astype(np.int64)
     y1 = np.minimum(y0 + 1, h - 1)
     x1 = np.minimum(x0 + 1, w - 1)
-    fy = (sy - y0)[:, None]
-    fx = (sx - x0)[None, :]
+    # Weight shapes broadcast over any trailing axes (e.g. RGB).
+    trail = (1,) * (a.ndim - 2)
+    fy = (sy - y0).reshape(oh, 1, *trail)
+    fx = (sx - x0).reshape(1, ow, *trail)
     af = a.astype(np.float64)
     top = af[y0][:, x0] * (1 - fx) + af[y0][:, x1] * fx
     bot = af[y1][:, x0] * (1 - fx) + af[y1][:, x1] * fx
@@ -72,14 +74,9 @@ def normalize_depth_u16(depth) -> np.ndarray:
     normalizeDepthImage / normalizeInfraredImage :216-235). min/max are
     recomputed per call — the reference's ``static`` min/max (``:198-199``)
     poison every call after the first and are deliberately not
-    reproduced (SURVEY §5 "known latent bugs")."""
-    a = np.asarray(depth, np.uint16)
-    lo = int(a.min())
-    hi = int(a.max())
-    if hi == lo:
-        return np.zeros(a.shape, np.uint8)
-    return ((a.astype(np.float64) - lo) / (hi - lo) * 255.0
-            ).astype(np.uint8)
+    reproduced (SURVEY §5 "known latent bugs"). Delegates to
+    :func:`to_display`, whose normalize path is the same arithmetic."""
+    return to_display(np.asarray(depth, np.uint16))
 
 
 def normalize_f64(depth) -> np.ndarray:
@@ -98,8 +95,8 @@ def normalize_f64(depth) -> np.ndarray:
 
 
 def show(name: str, img, out_dir: str = "debug_vis",
-         normalize: bool = True, zoom: float = 1.0,
-         force: bool = False) -> Optional[str]:
+         normalize: bool = True, force: bool = False,
+         zoom: float = 1.0) -> Optional[str]:
     """Debug dump: write ``<out_dir>/<name>.bmp`` when VISUAL_DEBUG (or
     ``force``); returns the path written or None. The call-site pattern
     mirrors the reference's gated Show calls (CDecodeGray.cpp:207-227);

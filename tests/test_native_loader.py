@@ -86,3 +86,21 @@ def test_dataset_frames_native_path(tmp_path, rng):
     # start offset goes through the native path too.
     got_tail = np.stack(list(ds.frames(start=5)))
     np.testing.assert_array_equal(got_tail, frames[5:])
+
+
+def test_dataset_frames_fallback_on_shape_mismatch(tmp_path, rng):
+    """A dataset whose on-disk frame size differs from the manifest must
+    fall back to the Python reader (delivering the actual frames), not
+    raise IOError mid-iteration from the native loader."""
+    from slc_tpu.io.dataset import write_manifest
+
+    root = str(tmp_path / "ds")
+    os.makedirs(os.path.join(root, "cFrame"))
+    actual = rng.integers(0, 256, (8, 16), dtype=np.uint8)
+    write_bmp(os.path.join(root, "cFrame", "dynaCam0.bmp"), actual)
+    write_manifest(root, {"gray_count": 2, "phase_count": 2,
+                          "frame_count": 1, "cam_h": 16, "cam_w": 32})
+    ds = ReplayDataset(root)
+    got = list(ds.frames())
+    assert len(got) == 1
+    np.testing.assert_array_equal(got[0], actual)
