@@ -75,7 +75,7 @@ def _kernel(scal_ref, img_ref, c_ref, d_ref,
             t = img * jnp.float32(sk * 2.0 / n)
             c = t if c is None else c + t
     period = phase_period                    # T = 2 Gray bins
-    ang = _atan2(s, c)
+    ang = _atan2(s, c, bounded=True)
     ang = jnp.where(ang < 0, ang + jnp.float32(_TWO_PI), ang)
     pix = ang * jnp.float32(period / _TWO_PI) + 0.5
     pix = jnp.where(pix > period, pix - period, pix)

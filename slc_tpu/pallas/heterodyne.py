@@ -61,7 +61,7 @@ def _kernel(scal_ref, img_ref, c_ref, d_ref,
         # atan2 -> wrapped px in (0, T], reference convention
         # (CDecodePhase.cpp:67-74), as in ops.phase.wrapped_phase_to_pixels.
         # Mosaic has no atan lowering; use the polynomial atan2 (mathx).
-        ang = _atan2(s, c)
+        ang = _atan2(s, c, bounded=True)
         ang = jnp.where(ang < 0, ang + jnp.float32(_TWO_PI), ang)
         pix = ang * jnp.float32(period / _TWO_PI) + 0.5
         pix = jnp.where(pix > period, pix - period, pix)

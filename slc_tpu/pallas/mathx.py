@@ -31,7 +31,7 @@ def _atan_poly(t):
     return p * z * t + t
 
 
-def atan2(y, x):
+def atan2(y, x, bounded: bool = False):
     """Four-quadrant arctangent in [-pi, pi], elementwise, f32.
 
     Same quadrant conventions as ``jnp.arctan2``; (0, 0) -> 0. Uses the
@@ -58,9 +58,10 @@ def atan2(y, x):
     # mn + mx can overflow f32 for inputs near the type max (the old
     # two-divide form never added magnitudes); the fold ratio is
     # scale-invariant, so halve both operands in that range first.
-    huge = mx > jnp.float32(1.7e38)
-    mn = jnp.where(huge, mn * 0.5, mn)
-    mx = jnp.where(huge, mx * 0.5, mx)
+    if not bounded:
+        huge = mx > jnp.float32(1.7e38)
+        mn = jnp.where(huge, mn * 0.5, mn)
+        mx = jnp.where(huge, mx * 0.5, mx)
     big = mn > jnp.float32(_TAN_PI_8) * mx
     num = jnp.where(big, mn - mx, mn)
     den = jnp.where(big, mn + mx, mx)
