@@ -251,6 +251,51 @@ def bench_config4():
                   if k != "overlap_efficiency"})
 
 
+def bench_sequence100():
+    """The reference's full-length scenario (DYNAFRAME_MAXNUM = 100,
+    StaticParameters.cpp:31): terminal median |z - z_gt| drift after
+    100 free-running deltaP-integration frames, for the improved
+    tracker (sub-pixel + gradient scaling + robust combine) vs raw
+    reference semantics — the machine-readable form of
+    tests/test_sequence_100.py."""
+    from slc_tpu.config import SystemConfig
+    from slc_tpu.calib import synthetic_calibration, build_tables
+    from slc_tpu import synth
+    from slc_tpu.dynamic import init_tracker, run_sequence
+
+    cfg = SystemConfig(cam_h=96, cam_w=160, pro_h=96, pro_w=640,
+                       gray_bits=5)
+    calib = synthetic_calibration(cam_h=cfg.cam_h, cam_w=cfg.cam_w,
+                                  pro_h=cfg.pro_h, pro_w=cfg.pro_w)
+    tables = build_tables(calib, cfg.cam_h, cfg.cam_w)
+    frames, z_gt, pu_gt = synth.render_dynamic_sequence(
+        calib, cfg, 100, z0=50.0, dz_per_frame=0.08, stripe_period=12,
+        noise_sigma=1.0)
+
+    def drift(z, gt):
+        r = cfg.reco_window // 2 + 2
+        z = z[r:-r, r:-r]
+        gt = gt[r:-r, r:-r]
+        v = z > 0
+        return float(np.median(np.abs(z[v] - gt[v])))
+
+    def run(scale_gradient, subpixel):
+        st = init_tracker(jnp.asarray(frames[0]),
+                          jnp.asarray(pu_gt[0], jnp.float32),
+                          jnp.asarray(z_gt[0], jnp.float32), cfg,
+                          subpixel=subpixel)
+        st, res = run_sequence(st, jnp.asarray(frames[1:]), tables, cfg,
+                               scale_gradient=scale_gradient,
+                               subpixel=subpixel)
+        return drift(np.asarray(res.z[-1]), z_gt[-1])
+
+    d_imp = run(True, True)
+    d_ref = run(False, False)
+    emit("c100_terminal_drift_improved", round(d_imp, 4), "scene_units",
+         round(d_ref / max(d_imp, 1e-9), 2),
+         frames=100, reference_semantics_drift=round(d_ref, 4))
+
+
 def bench_config5():
     """16-scan bundle-adjustment fusion: ATE from noisy observations,
     plus the distributed-parity delta (landmark-sharded 8-way CPU mesh
@@ -375,7 +420,7 @@ def main():
         return
     bench_config2_headline()
     for fn in (bench_config1, bench_config3, bench_config4,
-               bench_config5, bench_rooflines):
+               bench_sequence100, bench_config5, bench_rooflines):
         try:
             fn()
         except Exception as e:  # keep the suite robust: later configs

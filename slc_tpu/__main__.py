@@ -2,6 +2,9 @@
 
 ``python -m slc_tpu run``     — replay reconstruction (main.cpp:42-45)
 ``python -m slc_tpu synth``   — render a synthetic replay dataset
+``python -m slc_tpu capture`` — acquire a dataset via the project->
+                                capture loop (live-mode workflow)
+``python -m slc_tpu fuse``    — register multiple scans into one cloud
 ``python -m slc_tpu bench``   — the repo benchmark (delegates to bench.py)
 """
 
