@@ -211,6 +211,9 @@ def main(argv=None) -> int:
     runp.add_argument("--save-depth", action="store_true",
                       help="also write depth_iFrame.npz (z + cam_k) "
                            "for downstream `fuse`")
+    runp.add_argument("--preview", action="store_true",
+                      help="write shaded depth preview BMPs (frame 0 "
+                           "and the final frame)")
     _add_cfg_args(runp)
 
     sy = sub.add_parser("synth", help="render a synthetic replay dataset")
@@ -344,7 +347,7 @@ def main(argv=None) -> int:
             max_frames=args.max_frames, write_clouds=not args.no_clouds,
             checkpoint_every=args.checkpoint_every, resume=args.resume,
             scale_gradient=not ref, subpixel=not ref, mode=args.mode,
-            save_depth=args.save_depth)
+            save_depth=args.save_depth, preview=args.preview)
         last = report.metrics.records[-1] if report.metrics.records else {}
         print(f"done: frames={report.frames_done} "
               f"first_frame_points={report.first_frame_points} "

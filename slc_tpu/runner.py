@@ -50,7 +50,8 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                fault_seed: int = 0,
                mode: str = "gray",
                use_anchors: bool = True,
-               save_depth: bool = False) -> RunReport:
+               save_depth: bool = False,
+               preview: bool = False) -> RunReport:
     """Run the full reference pipeline over a replay dataset.
 
     ``mode`` selects the frame-0 absolute decode: "gray" (the
@@ -114,6 +115,8 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
         np.savez(os.path.join(out_dir, "depth_iFrame.npz"),
                  z=np.asarray(first.z, np.float32),
                  cam_k=np.asarray(calib.cam_k, np.float32))
+    if preview:
+        _write_preview(out_dir, "preview_iFrame", first.z, calib)
     log.log_frame(0, frame_stats(first.z))
 
     # --- dynamic loop (CalculateOther) -------------------------------
@@ -192,8 +195,23 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
             save_state(os.path.join(ckpt_dir, f"frame_{f}"), state)
         done = f
 
+    if preview and done >= start_frame:
+        _write_preview(out_dir, f"preview_cFrame{done}", state.z, calib)
     log.save(os.path.join(out_dir, "metrics.jsonl"))
     return RunReport(done, n_pts, log)
+
+
+def _write_preview(out_dir: str, name: str, z, calib) -> str:
+    """Shaded depth preview BMP (the depthMapUtils.cpp:167-187 render
+    chain: bilateral -> normals -> Phong-style luminance), the visual
+    artifact the reference only produces through its never-called
+    renderDepthMap."""
+    from slc_tpu import visualization
+    k = np.asarray(calib.cam_k)
+    lum = cloud.render_depth_map(z, float(k[0, 0]), float(k[1, 1]),
+                                 float(k[0, 2]), float(k[1, 2]))
+    return visualization.show(name, np.asarray(lum), out_dir=out_dir,
+                              force=True)
 
 
 def _decode_anchor(ds, f: int, tables, cfg: SystemConfig, mode: str,

@@ -264,3 +264,23 @@ def test_run_replay_spatial_reanchor_keeps_fringe_order(tmp_path):
         med[f] = np.median(pts[:, 2])
     assert abs(med[4] - med[3]) < 5 * dz, med
     assert abs(med[5] - med[4]) < 5 * dz, med
+
+
+def test_run_replay_preview(tmp_path):
+    """--preview writes shaded depth BMPs (the depthMapUtils render
+    chain) for frame 0 and the final tracked frame."""
+    from slc_tpu.io.bmp import read_bmp
+
+    root = str(tmp_path / "ds")
+    out = str(tmp_path / "out")
+    _make_dataset(root)
+    run_replay(root, os.path.join(root, "parameters.yml"), out, CFG,
+               preview=True)
+    p0 = os.path.join(out, "preview_iFrame.bmp")
+    pf = os.path.join(out, "preview_cFrame3.bmp")
+    assert os.path.exists(p0) and os.path.exists(pf)
+    img = read_bmp(p0)
+    assert img.shape == (CFG.cam_h, CFG.cam_w)
+    # A lit plane has nonzero, non-saturated interior shading.
+    interior = img[10:-10, 10:-10]
+    assert 0 < interior.mean() < 255
