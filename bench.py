@@ -79,11 +79,16 @@ def _rig_2mp():
 
 
 def bench_config2_headline():
-    """2 MP 3-frequency heterodyne (12 fringes) -> x,y,z,P; >=60 fps."""
+    """2 MP 3-frequency heterodyne (12 fringes) -> x,y,z,P; >=60 fps,
+    plus machine-readable accuracy at full 2 MP (VERDICT r2 item 4):
+    RMSE vs an analytic plane on a rendered fringe stack, and a
+    real-fringe timing (masked-store behavior differs from the
+    0%-valid random-noise input used for the bandwidth line)."""
     from slc_tpu.config import HeterodyneConfig
     from slc_tpu.pipeline import decode_heterodyne_frame
+    from slc_tpu import synth
 
-    cfg, _, tables = _rig_2mp()
+    cfg, calib, tables = _rig_2mp()
     het = HeterodyneConfig()
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.integers(0, 256, (het.num_images, H2MP, W2MP),
@@ -98,6 +103,20 @@ def bench_config2_headline():
     fps = 1.0 / dt
     emit("phase_to_depth_fps_2mp", round(fps, 2), "fps",
          round(fps / 60.0, 3))
+
+    real, z_gt, _ = synth.render_fringe_stack(
+        calib, cfg, synth.plane_surface(55.0, 0.1, 0.05),
+        het.periods(cfg.pro_w), het.phase_steps, noise_sigma=1.0)
+    real_j = jnp.asarray(real)
+    _, _, z, _ = step(real_j)
+    z = np.asarray(z)
+    v = z > 0
+    rmse = float(np.sqrt(np.mean((z[v] - z_gt[v]) ** 2)))
+    emit("c2_heterodyne_rmse_2mp", round(rmse, 5), "scene_units",
+         round(0.5 / rmse, 2), valid_pct=round(100.0 * v.mean(), 2))
+    dt_real = _timeit(step, real_j)
+    emit("c2_fps_2mp_real_fringes", round(1.0 / dt_real, 2), "fps",
+         round(1.0 / dt_real / 60.0, 3))
 
 
 def bench_config1():
@@ -139,8 +158,12 @@ def bench_config3():
     band = slice(H2MP // 2, H2MP // 2 + 16)
     psi[band] = rng.uniform(0, t, size=(16, W2MP)).astype(np.float32)
     q[band] = 1e-3
-    # Coarse anchor (a heterodyne-grade initial estimate): truth + bias.
-    anchor = (x + rng.uniform(-t / 3, t / 3)).astype(np.float32)
+    # Coarse anchor (a heterodyne-grade initial estimate): truth +
+    # per-pixel bias, the same difficulty the hard-scene tests use
+    # (tests/test_unwrap_spatial.py) — a scalar bias would make the
+    # anchor trivially consistent with the truth.
+    anchor = (x + rng.uniform(-t / 3, t / 3, size=x.shape)
+              ).astype(np.float32)
 
     psi_j, q_j, a_j = jnp.asarray(psi), jnp.asarray(q), jnp.asarray(anchor)
     fn = lambda p, qq, aa: unwrap_spatial(p, t, quality=qq, anchor=aa,
@@ -176,7 +199,7 @@ def bench_config4():
     from slc_tpu.streaming import run_streaming
 
     cfg, calib, tables = _rig_2mp()
-    n = 12
+    n = 33                     # 1 init + 32 streaming = 2 chunks of 16
     frames, z_gt, pu_gt = synth.render_dynamic_sequence(
         calib, cfg, n, z0=50.0, dz_per_frame=0.05, stripe_period=12,
         noise_sigma=1.0)
@@ -241,6 +264,29 @@ def bench_config4():
     emit("c4_stream_p50_ms_host_feed_zfetch", st_f.summary()["p50_ms"],
          "ms", None, fps=st_f.summary()["fps"])
 
+    # (e) chunked megastep (VERDICT r2 item 1): one lax.scan dispatch +
+    # one sync per K frames, amortizing the tunnel's per-step RPC
+    # floor. Device-staged feed (a co-located production host hides the
+    # uint8 H2D under compute at PCIe bandwidth; the dev tunnel's
+    # ~24 MB/s link cannot, so the host-feed line below is
+    # link-bandwidth-bound, not framework-bound).
+    K = 16
+    _ = run_streaming(fresh_state(), dev_frames, tables, cfg, chunk=K)
+    best = None
+    for _i in range(3):
+        _, stc = run_streaming(fresh_state(), dev_frames, tables, cfg,
+                               chunk=K)
+        if best is None or stc.fps > best.fps:
+            best = stc
+    chunk_ms = [k * K * 1e3 for k in best.latencies_s[::K]]
+    emit("c4_stream_fps_2mp_chunked", round(best.fps, 2), "fps",
+         round(best.fps / 60.0, 3), chunk=K,
+         p50_chunk_latency_ms=round(float(np.median(chunk_ms)), 3))
+    _, sth = run_streaming(fresh_state(), host_frames, tables, cfg,
+                           chunk=K)
+    emit("c4_stream_fps_2mp_chunked_hostfeed", round(sth.fps, 2),
+         "fps", round(sth.fps / 60.0, 3), chunk=K)
+
     # (d) transfer/compute overlap, measured: pipelined vs strict
     # sequential, with pure-compute and pure-transfer legs. Efficiency
     # 1.0 = the cheaper leg fully hidden under the other.
@@ -279,18 +325,18 @@ def bench_sequence100():
         v = z > 0
         return float(np.median(np.abs(z[v] - gt[v])))
 
-    def run(scale_gradient, subpixel):
+    def run(scale_gradient, subpixel, robust):
         st = init_tracker(jnp.asarray(frames[0]),
                           jnp.asarray(pu_gt[0], jnp.float32),
                           jnp.asarray(z_gt[0], jnp.float32), cfg,
                           subpixel=subpixel)
         st, res = run_sequence(st, jnp.asarray(frames[1:]), tables, cfg,
                                scale_gradient=scale_gradient,
-                               subpixel=subpixel)
+                               subpixel=subpixel, robust=robust)
         return drift(np.asarray(res.z[-1]), z_gt[-1])
 
-    d_imp = run(True, True)
-    d_ref = run(False, False)
+    d_imp = run(True, True, True)
+    d_ref = run(False, False, False)
     emit("c100_terminal_drift_improved", round(d_imp, 4), "scene_units",
          round(d_ref / max(d_imp, 1e-9), 2),
          frames=100, reference_semantics_drift=round(d_ref, 4))
@@ -348,6 +394,88 @@ def parity_worker():
     delta = max(float(jnp.max(jnp.abs(rot_d - rot_s))),
                 float(jnp.max(jnp.abs(trans_d - trans_s))))
     print(delta)
+
+
+def bench_scaling():
+    """Weak-scaling efficiency of the distributed step (BASELINE.md
+    ">=80% at 2 hosts" row; VERDICT r2 item 2): real `jax.distributed`
+    CPU clusters of 1, 2, 4 OS processes, each owning one scan over a
+    fixed per-process tile grid (constant per-process work), wall-timed
+    over a steady-state `tiled_batched_dynamic_step` loop. Efficiency =
+    t(1 proc)/t(N procs); 1.0 = perfect weak scaling. This bounds the
+    framework's own sync/collective overhead; it is a CPU-cluster
+    proxy, not an ICI measurement (no multi-chip TPU in this
+    environment) — see PERF.md for the analytic comms accounting."""
+    import socket
+
+    worker = os.path.join(_HERE, "tests", "multiproc_worker.py")
+    if not os.path.exists(worker):
+        print("scaling skipped: tests/multiproc_worker.py not found",
+              file=sys.stderr)
+        return
+
+    def free_port():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
+    ncores = os.cpu_count() or 1
+
+    def run_cluster(n_procs, local_devices=2, frames=30):
+        """Weak scaling requires CONSTANT per-process resources: every
+        rank in every cluster size is pinned (taskset) to exactly one
+        core, so t(N)/t(1) measures the framework's sync/collective
+        overhead, not core contention. With fewer cores than ranks the
+        cluster is oversubscribed and the number is an upper bound on
+        overhead, flagged in the emitted line."""
+        port = free_port()
+        procs, outs = [], []
+        tmp = os.path.join(_HERE, ".bench_scaling_tmp")
+        os.makedirs(tmp, exist_ok=True)
+        for rank in range(n_procs):
+            out = os.path.join(tmp, f"rank{rank}.json")
+            if os.path.exists(out):
+                os.remove(out)
+            env = {k: v for k, v in os.environ.items()
+                   if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+            env.update({
+                "SLC_COORDINATOR": f"127.0.0.1:{port}",
+                "SLC_NUM_PROCESSES": str(n_procs),
+                "SLC_PROCESS_ID": str(rank),
+                "SLC_LOCAL_DEVICES": str(local_devices),
+                "SLC_BENCH_FRAMES": str(frames),
+                "SLC_OUT": out,
+                "PYTHONPATH": _HERE,
+            })
+            procs.append(subprocess.Popen(
+                ["taskset", "-c", str(rank % ncores),
+                 sys.executable, worker], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True))
+            outs.append(out)
+        for p in procs:
+            p.communicate(timeout=570)
+        times = []
+        for out in outs:
+            with open(out) as f:
+                r = json.load(f)
+            if not r.get("ok") or not r.get("bench_s_per_frame"):
+                raise RuntimeError(f"scaling worker failed: {r}")
+            times.append(r["bench_s_per_frame"])
+        return max(times)          # slowest rank = cluster step time
+
+    t1 = run_cluster(1)
+    t2 = run_cluster(2)
+    eff2 = t1 / t2
+    emit("c_scaling_efficiency_2proc", round(eff2, 3), "fraction",
+         round(eff2 / 0.8, 3), t1_ms=round(t1 * 1e3, 2),
+         t2_ms=round(t2 * 1e3, 2),
+         oversubscribed=(2 > ncores), cores=ncores)
+    t4 = run_cluster(4)
+    eff4 = t1 / t4
+    emit("c_scaling_efficiency_4proc", round(eff4, 3), "fraction",
+         round(eff4 / 0.8, 3), t4_ms=round(t4 * 1e3, 2),
+         oversubscribed=(4 > ncores), cores=ncores)
 
 
 def bench_rooflines():
@@ -420,7 +548,8 @@ def main():
         return
     bench_config2_headline()
     for fn in (bench_config1, bench_config3, bench_config4,
-               bench_sequence100, bench_config5, bench_rooflines):
+               bench_sequence100, bench_config5, bench_scaling,
+               bench_rooflines):
         try:
             fn()
         except Exception as e:  # keep the suite robust: later configs

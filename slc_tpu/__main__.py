@@ -204,7 +204,9 @@ def main(argv=None) -> int:
     runp.add_argument("--checkpoint-every", type=int, default=0)
     runp.add_argument("--resume", action="store_true")
     runp.add_argument("--reference-semantics", action="store_true",
-                      help="disable subpixel tracking + gradient scaling")
+                      help="disable subpixel tracking, gradient scaling "
+                           "and the robust deltaP combine (exact "
+                           "CCalculation.cpp:595-660 behavior)")
     runp.add_argument("--mode", choices=["gray", "heterodyne", "spatial"],
                       default="gray",
                       help="frame-0 absolute decode method")
@@ -346,7 +348,8 @@ def main(argv=None) -> int:
             args.dataset, args.calib, args.out, cfg,
             max_frames=args.max_frames, write_clouds=not args.no_clouds,
             checkpoint_every=args.checkpoint_every, resume=args.resume,
-            scale_gradient=not ref, subpixel=not ref, mode=args.mode,
+            scale_gradient=not ref, subpixel=not ref, robust=not ref,
+            mode=args.mode,
             save_depth=args.save_depth, preview=args.preview)
         last = report.metrics.records[-1] if report.metrics.records else {}
         print(f"done: frames={report.frames_done} "

@@ -153,12 +153,27 @@ class ReplayDataset:
         When the native I/O library is available (``native=True``), the
         frames are decoded by its C++ thread pool (slc_io.cpp SlcLoader:
         parallel BMP decode into a ring buffer, ordered delivery);
-        otherwise a single Python read-ahead thread is used."""
+        otherwise a single Python read-ahead thread is used.
+
+        Fault semantics (identical on both paths): an unreadable or
+        undecodable frame is skipped and the stream continues with the
+        next one. Consumers that need per-frame fault records should
+        read indices explicitly via :meth:`frame` as the runner does
+        (slc_tpu/runner.py skip-and-carry recovery)."""
         if native and start < self.frame_count:
             it = self._native_frames(start, prefetch)
             if it is not None:
-                yield from it
-                return
+                # Iterate explicitly: NativeFrameLoader raises IOError
+                # for a frame that fails to decode but stays usable, so
+                # the skip happens here rather than killing the
+                # generator as ``yield from`` would.
+                while True:
+                    try:
+                        yield next(it)
+                    except StopIteration:
+                        return
+                    except IOError:
+                        continue
         yield from self._python_frames(start, prefetch)
 
     def _native_frames(self, start: int, prefetch: int):
@@ -208,7 +223,15 @@ class ReplayDataset:
                 for i in range(start, self.frame_count):
                     if stop.is_set():
                         return
-                    q.put(self.frame(i))
+                    try:
+                        item = self.frame(i)
+                    except (IOError, OSError, ValueError):
+                        # IOError/OSError: unreadable file; ValueError:
+                        # read_bmp decode failure (the native codec
+                        # reports both as IOError). Skip, matching the
+                        # native path.
+                        continue
+                    q.put(item)
             finally:
                 q.put(None)
 

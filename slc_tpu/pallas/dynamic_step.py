@@ -30,52 +30,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from slc_tpu.pallas.mathx import sliding_row_sum
+from slc_tpu.pallas.mathx import sliding_extrema, sliding_row_sum
 
 PAD = 8  # row padding so halo DMA offsets stay 8/32-aligned
-
-
-def _extrema(vs, r, subpixel, pad_w):
-    """Windowed extrema + optional sub-pixel refine via lane rolls
-    (slc_tpu.ops.stripe.windowed_extrema_raw semantics)."""
-    def rolled(k):
-        return pltpu.roll(vs, (-k) % pad_w, axis=1)
-
-    best_max = vs
-    best_max_idx = jnp.zeros_like(vs)
-    best_min = vs
-    best_min_idx = jnp.zeros_like(vs)
-    if subpixel:
-        mm = rolled(-1)
-        mp = rolled(1)
-        max_vm, max_vp = mm, mp
-        min_vm, min_vp = mm, mp
-    v_prev = rolled(-r - 1)
-    v = rolled(-r)
-    for k in range(-r, r):
-        v_next = rolled(k + 1)
-        upd_max = v > best_max
-        best_max = jnp.where(upd_max, v, best_max)
-        best_max_idx = jnp.where(upd_max, jnp.float32(k), best_max_idx)
-        upd_min = v < best_min
-        best_min = jnp.where(upd_min, v, best_min)
-        best_min_idx = jnp.where(upd_min, jnp.float32(k), best_min_idx)
-        if subpixel:
-            max_vm = jnp.where(upd_max, v_prev, max_vm)
-            max_vp = jnp.where(upd_max, v_next, max_vp)
-            min_vm = jnp.where(upd_min, v_prev, min_vm)
-            min_vp = jnp.where(upd_min, v_next, min_vp)
-        v_prev, v = v, v_next
-
-    if subpixel:
-        def refine(idx, v0, vm, vp):
-            denom = vm - 2.0 * v0 + vp
-            frac = jnp.where(jnp.abs(denom) > 1e-6,
-                             0.5 * (vm - vp) / denom, 0.0)
-            return idx + jnp.clip(frac, -0.5, 0.5)
-        best_max_idx = refine(best_max_idx, best_max, max_vm, max_vp)
-        best_min_idx = refine(best_min_idx, best_min, min_vm, min_vp)
-    return best_max_idx, best_min_idx
 
 
 def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
@@ -123,7 +80,9 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
     interior = ((rows >= r) & (rows < img_h - r)
                 & (cols >= r) & (cols < img_w - r))
     vs = jnp.where(interior, vs, 0.0)
-    sw, sb = _extrema(vs, r, subpixel, pad_w)
+    sw, sb = sliding_extrema(
+        vs, window, pad_w,
+        lambda a, k: pltpu.roll(a, (-k) % pad_w, axis=1), subpixel)
     sw = jnp.where(interior, sw, 0.0)
     sb = jnp.where(interior, sb, 0.0)
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 _PI = math.pi
@@ -72,6 +73,165 @@ def atan2(y, x, bounded: bool = False):
     r = jnp.where(x < 0, jnp.float32(_PI) - r, r)
     r = jnp.where(mx == 0, jnp.float32(0.0), r)      # atan2(0, 0) = 0
     return jnp.where(y < 0, -r, r)
+
+
+def _extrema_scan(vs, r, roll, subpixel):
+    """Linear-scan windowed extrema (the reference's literal loop,
+    CCalculation.cpp:828-891): center-initialized, strict-inequality
+    updates over offsets [-r, r). O(2r) dependent roll+compare passes —
+    kept as the fallback for inputs the packed tournament can't encode
+    exactly."""
+    best_max = vs
+    best_max_idx = jnp.zeros_like(vs)
+    best_min = vs
+    best_min_idx = jnp.zeros_like(vs)
+    if subpixel:
+        mm = roll(vs, -1)
+        mp = roll(vs, 1)
+        max_vm, max_vp = mm, mp
+        min_vm, min_vp = mm, mp
+    v_prev = roll(vs, -r - 1)
+    v = roll(vs, -r)
+    for k in range(-r, r):
+        v_next = roll(vs, k + 1)
+        upd_max = v > best_max
+        best_max = jnp.where(upd_max, v, best_max)
+        best_max_idx = jnp.where(upd_max, jnp.float32(k), best_max_idx)
+        upd_min = v < best_min
+        best_min = jnp.where(upd_min, v, best_min)
+        best_min_idx = jnp.where(upd_min, jnp.float32(k), best_min_idx)
+        if subpixel:
+            max_vm = jnp.where(upd_max, v_prev, max_vm)
+            max_vp = jnp.where(upd_max, v_next, max_vp)
+            min_vm = jnp.where(upd_min, v_prev, min_vm)
+            min_vp = jnp.where(upd_min, v_next, min_vp)
+        v_prev, v = v, v_next
+    if not subpixel:
+        return best_max_idx, best_min_idx
+    best_max_idx = _parabolic_refine(best_max_idx, best_max,
+                                     max_vm, max_vp)
+    best_min_idx = _parabolic_refine(best_min_idx, best_min,
+                                     min_vm, min_vp)
+    return best_max_idx, best_min_idx
+
+
+def _parabolic_refine(idx, v0, vm, vp):
+    """Sub-pixel parabola through (idx-1, vm), (idx, v0), (idx+1, vp);
+    fraction clamped to +-0.5 (slc_tpu.ops.stripe semantics)."""
+    denom = vm - 2.0 * v0 + vp
+    frac = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (vm - vp) / denom, 0.0)
+    return idx + jnp.clip(frac, -0.5, 0.5)
+
+
+def sliding_extrema(vs, window: int, pad_w: int, roll, subpixel: bool):
+    """Windowed max/min offsets over horizontal offsets [-r, r),
+    r = window//2, with the reference's tie-breaking (center wins any
+    tie, else the leftmost offset; CCalculation.cpp:828-891) and the
+    optional sub-pixel parabolic refine. ``roll(a, k)[i] == a[i+k]``
+    (callers supply pltpu.roll or jnp.roll wrapped accordingly).
+
+    Fast path (VERDICT r2 item 3 — the linear scan was the stripe /
+    dynamic-step kernels' VPU bottleneck): a log-depth tournament over
+    int32 words packing the value with its column index,
+
+        packed[j] = (vs[j] << C) | (2^C - 1 - col_j),   2^C >= pad_w
+
+    so a single sliding-window *max* of ``packed`` yields both the
+    extremum value and its leftmost column (ties in vs -> larger code
+    -> smaller column); the min family packs ``vs ^ (2^V - 1)`` (the
+    bitwise complement within the value field). The sliding max itself
+    uses the same power-of-two doubling as :func:`sliding_row_sum`:
+    O(log window) roll+max passes instead of the 2r-step dependent
+    scan. Both parabola neighbors ride through the tournament in ONE
+    extra int32 carry word per family, (vs[j-1] << V) | vs[j+1],
+    selected on the same comparison mask — ~25 lane-rolls total in
+    sub-pixel mode vs the scan's 22 rolls + ~200 dependent
+    compare/selects. Everything is EXACT, not approximate: the
+    encoding requires integer-valued ``vs`` in [0, 255*window] with
+    V + C <= 31 (and 2V <= 31 for the neighbor word), which holds for
+    the production kernels (uint8 box sums, window 21 -> V = 13,
+    width <= 2048 -> C = 11); otherwise this falls back to the linear
+    scan.
+
+    Returns (max_idx, min_idx) float32 offset maps (unmasked; callers
+    apply the interior mask).
+    """
+    r = window // 2
+    w = 2 * r
+    if w < 1:
+        z = jnp.zeros_like(vs)
+        return z, z
+    shift = 1
+    cbits = 0
+    while shift < pad_w:
+        shift *= 2
+        cbits += 1
+    vbits = (255 * window + 1).bit_length()
+    if (vbits + cbits > 31 or (subpixel and 2 * vbits > 31)) or w < 2:
+        return _extrema_scan(vs, r, roll, subpixel)
+    cap = (1 << vbits) - 1
+
+    vsi = vs.astype(jnp.int32)
+    coli = jax.lax.broadcasted_iota(jnp.int32, vs.shape, 1)
+    code = (shift - 1) - coli
+    pmax0 = (vsi << cbits) | code
+    pmin0 = ((vsi ^ cap) << cbits) | code
+    if subpixel:
+        # Neighbor word: value at col-1 in the high half, col+1 low.
+        nb0 = (roll(vsi, -1) << vbits) | roll(vsi, 1)
+        nb_leaf = roll(nb0, -r)
+    else:
+        nb0 = nb_leaf = None
+
+    def merge(a, b, s):
+        """Combine window a=[i, i+p) with b shifted by s; leftmost-wins
+        is already encoded in the packed order."""
+        pb = roll(b[0], s)
+        if not subpixel:
+            return (jnp.maximum(a[0], pb), None)
+        sel = a[0] >= pb
+        return (jnp.where(sel, a[0], pb),
+                jnp.where(sel, a[1], roll(b[1], s)))
+
+    def tourney(packed0):
+        # Leaf window-start alignment: level-1 element i covers source
+        # column i - r, so the final fold directly yields the window
+        # [i-r, i+r) of output pixel i.
+        levels = {1: (roll(packed0, -r), nb_leaf)}
+        p = 1
+        while 2 * p <= w:
+            levels[2 * p] = merge(levels[p], levels[p], p)
+            p *= 2
+        acc = None
+        off = 0
+        while p >= 1:
+            if w & p:
+                if acc is None and off == 0:
+                    acc = levels[p]
+                else:
+                    acc = merge(acc, levels[p], off)
+                off += p
+            p //= 2
+        return acc
+
+    def decode(acc, neg):
+        M, nb = acc
+        vali = M >> cbits
+        argcol = (shift - 1) - (M & (shift - 1))
+        if neg:
+            vali = vali ^ cap
+        center = vsi == vali                     # center wins any tie
+        idx = jnp.where(center, 0, argcol - coli).astype(jnp.float32)
+        if not subpixel:
+            return idx
+        nbv = jnp.where(center, nb0, nb)
+        vm = (nbv >> vbits).astype(jnp.float32)
+        vp = (nbv & cap).astype(jnp.float32)
+        return _parabolic_refine(idx, vali.astype(jnp.float32), vm, vp)
+
+    max_idx = decode(tourney(pmax0), neg=False)
+    min_idx = decode(tourney(pmin0), neg=True)
+    return max_idx, min_idx
 
 
 def sliding_row_sum(f, base: int, n_out: int, window: int):

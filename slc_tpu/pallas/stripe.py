@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from slc_tpu.pallas.mathx import sliding_row_sum
+from slc_tpu.pallas.mathx import sliding_extrema, sliding_row_sum
 
 
 def _stripe_kernel(frame_hbm, sw_ref, sb_ref, scratch, sem, *,
@@ -58,47 +58,16 @@ def _stripe_kernel(frame_hbm, sw_ref, sb_ref, scratch, sem, *,
     out_w = sw_ref.shape[1]
 
     # Horizontal windowed extrema over offsets [-r, r) with the
-    # center-initialized strict-inequality tie-breaking
-    # (CCalculation.cpp:828-891); lane rolls keep everything in VMEM.
-    def rolled(k):
-        # jnp.roll(vs, -k) with the non-negative shift pltpu.roll needs.
-        return pltpu.roll(vs, (-k) % pad_w, axis=1)
+    # center-first tie-breaking (CCalculation.cpp:828-891) via the
+    # packed log-depth tournament (mathx.sliding_extrema) — exact for
+    # the integer-valued uint8 box sums; lane rolls keep everything in
+    # VMEM.
+    def roll(a, k):
+        # a[i+k] with the non-negative shift pltpu.roll needs.
+        return pltpu.roll(a, (-k) % pad_w, axis=1)
 
-    best_max = vs
-    best_max_idx = jnp.zeros_like(vs)
-    best_min = vs
-    best_min_idx = jnp.zeros_like(vs)
-    if subpixel:
-        mm = rolled(-1)
-        mp = rolled(1)
-        max_vm, max_vp = mm, mp
-        min_vm, min_vp = mm, mp
-    v_prev = rolled(-r - 1)
-    v = rolled(-r)
-    for k in range(-r, r):
-        v_next = rolled(k + 1)
-        upd_max = v > best_max
-        best_max = jnp.where(upd_max, v, best_max)
-        best_max_idx = jnp.where(upd_max, jnp.float32(k), best_max_idx)
-        upd_min = v < best_min
-        best_min = jnp.where(upd_min, v, best_min)
-        best_min_idx = jnp.where(upd_min, jnp.float32(k), best_min_idx)
-        if subpixel:
-            max_vm = jnp.where(upd_max, v_prev, max_vm)
-            max_vp = jnp.where(upd_max, v_next, max_vp)
-            min_vm = jnp.where(upd_min, v_prev, min_vm)
-            min_vp = jnp.where(upd_min, v_next, min_vp)
-        v_prev, v = v, v_next
-
-    if subpixel:
-        def refine(idx, v0, vm, vp):
-            denom = vm - 2.0 * v0 + vp
-            frac = jnp.where(jnp.abs(denom) > 1e-6,
-                             0.5 * (vm - vp) / denom, 0.0)
-            return idx + jnp.clip(frac, -0.5, 0.5)
-        best_max_idx = refine(best_max_idx, best_max, max_vm, max_vp)
-        best_min_idx = refine(best_min_idx, best_min, min_vm, min_vp)
-
+    best_max_idx, best_min_idx = sliding_extrema(vs, window, pad_w,
+                                                 roll, subpixel)
     zero = jnp.zeros_like(vs)
     # Write exact-width blocks: cropping AFTER the kernel would make the
     # padded outputs XLA temps, which this backend stack-allocates in
@@ -111,7 +80,7 @@ def _stripe_kernel(frame_hbm, sw_ref, sb_ref, scratch, sem, *,
                    static_argnames=("window", "subpixel", "block_h",
                                     "interpret"))
 def stripe_regression_pallas(frame: jax.Array, window: int = 21,
-                             subpixel: bool = True, block_h: int = 16,
+                             subpixel: bool = True, block_h: int = 64,
                              interpret: bool = False
                              ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in replacement for slc_tpu.ops.stripe.stripe_regression.

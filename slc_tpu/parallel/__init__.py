@@ -16,15 +16,18 @@ from slc_tpu.parallel import launch
 from slc_tpu.parallel.halo import halo_exchange, halo_crop
 from slc_tpu.parallel.tiled import (
     tiled_absolute_decode,
+    tiled_heterodyne_decode,
     tiled_stripe_regression,
     tiled_dynamic_step,
     tiled_batched_dynamic_step,
     shard_image,
 )
+from slc_tpu.parallel.unwrap_tiled import tiled_unwrap_spatial
 
 __all__ = [
     "tile_mesh", "TILE_Y", "TILE_X", "SCAN", "launch",
     "halo_exchange", "halo_crop",
-    "tiled_absolute_decode", "tiled_stripe_regression",
-    "tiled_dynamic_step", "tiled_batched_dynamic_step", "shard_image",
+    "tiled_absolute_decode", "tiled_heterodyne_decode",
+    "tiled_stripe_regression", "tiled_dynamic_step",
+    "tiled_batched_dynamic_step", "tiled_unwrap_spatial", "shard_image",
 ]

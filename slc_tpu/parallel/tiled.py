@@ -27,10 +27,10 @@ from slc_tpu.config import SystemConfig
 from slc_tpu.dynamic import TrackerState
 from slc_tpu.ops.filters import box_blur_3x3
 from slc_tpu.ops.gray import decode_gray
-from slc_tpu.ops.phase import decode_phase
+from slc_tpu.ops.phase import decode_phase, modulation
 from slc_tpu.ops.stripe import (box_sum_vertical_raw, windowed_extrema_raw,
                                 select_delta_p)
-from slc_tpu.ops.unwrap import gray_assisted_merge
+from slc_tpu.ops.unwrap import gray_assisted_merge, heterodyne_unwrap
 from slc_tpu.parallel.halo import (halo_exchange, halo_crop, global_offsets)
 from slc_tpu.parallel.mesh import SCAN, TILE_Y, TILE_X
 from slc_tpu.pipeline import FrameResult
@@ -100,6 +100,42 @@ def tiled_absolute_decode(gray_images: jax.Array, phase_images: jax.Array,
     return shard_map(f, mesh=mesh,
                      in_specs=(SPEC3, SPEC3, tables_spec()),
                      out_specs=fr_spec)(gray_images, phase_images, tables)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "het", "mesh",
+                                             "min_modulation"))
+def tiled_heterodyne_decode(fringe_images: jax.Array,
+                            tables: TriangulationTables,
+                            cfg: SystemConfig, het, mesh,
+                            min_modulation: float = 2.0) -> FrameResult:
+    """Tile-parallel multi-frequency heterodyne decode + triangulation
+    (BASELINE config 2; pipeline.decode_heterodyne_frame semantics).
+    Phase extraction, the beat cascade, and the modulation mask are all
+    pointwise — no halo; only the back-projection needs global pixel
+    coordinates (_tile_triangulate)."""
+    n = het.phase_steps
+    periods = het.periods(cfg.pro_w)
+
+    def f(imgs, tb):
+        wrapped, mods = [], []
+        for i, period in enumerate(periods):
+            stack = imgs[i * n:(i + 1) * n]
+            wrapped.append(decode_phase(stack, float(period)))
+            mods.append(modulation(stack))
+        pu = heterodyne_unwrap(jnp.stack(wrapped), periods,
+                               float(cfg.pro_w))
+        valid = None
+        if min_modulation is not None:
+            valid = functools.reduce(jnp.minimum, mods) > min_modulation
+            pu = jnp.where(valid, pu, 0.0)
+        x, y, z = _tile_triangulate(pu, tb, cfg.fov_min, cfg.fov_max,
+                                    valid)
+        return FrameResult(x=x, y=y, z=z, proj_u=pu)
+
+    fr_spec = FrameResult(x=SPEC2, y=SPEC2, z=SPEC2, proj_u=SPEC2)
+    return shard_map(f, mesh=mesh,
+                     in_specs=(SPEC3, tables_spec()),
+                     out_specs=fr_spec)(fringe_images, tables)
 
 
 def _tile_stripe_regression(frame: jax.Array, window: int, subpixel: bool,

@@ -45,6 +45,7 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                resume: bool = False,
                scale_gradient: bool = True,
                subpixel: bool = True,
+               robust: bool = True,
                fault_drop_prob: float = 0.0,
                fault_corrupt_prob: float = 0.0,
                fault_seed: int = 0,
@@ -83,8 +84,25 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
     tables = build_tables(calib, cfg.cam_h, cfg.cam_w)
     log = MetricsLog()
 
+    # Analytic per-stage HBM footprints (bytes/pixel) so metrics.jsonl
+    # reports achieved GB/s per stage (SURVEY §5; VERDICT r2 item 7):
+    # decode reads N u8 images + 2 f32 tables, writes 4 f32 maps;
+    # the dynamic step moves 1 u8 + 5 f32 in, 6 f32 out = 45 B/px.
+    # Wall-clock based: through a tunneled TPU this includes dispatch
+    # RPC; bench.py's roofline lines are the device-timed numbers.
+    px = cfg.cam_h * cfg.cam_w
+    if mode == "heterodyne":
+        from slc_tpu.config import HeterodyneConfig as _Het
+        n_in = _Het(phase_steps=cfg.phase_steps).num_images
+        first_bytes = px * (n_in + 24)
+    elif mode == "gray":
+        first_bytes = px * (2 * cfg.gray_bits + cfg.phase_steps + 24)
+    else:
+        first_bytes = None     # spatial: CG iteration count is dynamic
+    step_bytes = 45 * px
+
     # --- frame 0: absolute decode (CalculateFirst) -------------------
-    with stage("slc/first_frame", log):
+    with stage("slc/first_frame", log, bytes_moved=first_bytes):
         if mode == "gray":
             first = decode_first_frame(jnp.asarray(ds.gray_images()),
                                        jnp.asarray(ds.phase_images()),
@@ -153,7 +171,9 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
     for f in range(start_frame, total):
         try:
             frame = ds.frame(f)
-        except (IOError, OSError) as e:
+        except (IOError, OSError, ValueError) as e:
+            # ValueError = read_bmp decode failure on a corrupt on-disk
+            # frame — same fault class as an unreadable file.
             # Failure recovery (absent in the reference, which proceeds
             # with empty images — CSensorV.cpp:122-129): skip the frame,
             # carry the tracker state, record the fault.
@@ -180,9 +200,10 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                 save_state(os.path.join(ckpt_dir, f"frame_{f}"), state)
             done = f
             continue
-        with stage("slc/dynamic_step", log):
+        with stage("slc/dynamic_step", log, bytes_moved=step_bytes):
             state, res = dynamic_step(state, jnp.asarray(frame), tables,
-                                      cfg, scale_gradient, subpixel)
+                                      cfg, scale_gradient, subpixel,
+                                      robust)
             jax.block_until_ready(res.z)
         if write_clouds:
             with stage("slc/write", log):

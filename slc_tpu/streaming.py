@@ -19,10 +19,12 @@ buffer-to-buffer (slc_tpu.dynamic.dynamic_step).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable, Iterable, Iterator, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from slc_tpu.calib import TriangulationTables
@@ -79,6 +81,91 @@ def stream_frames(state: TrackerState, frames: Iterable[np.ndarray],
         state, res = dynamic_step(state, pending, tables, cfg,
                                   scale_gradient, subpixel)
         yield state, fetch(res)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "scale_gradient", "subpixel",
+                                    "robust"),
+                   donate_argnames=("state",))
+def _chunk_scan(state: TrackerState, frames: jax.Array,
+                tables: TriangulationTables, cfg: SystemConfig,
+                scale_gradient: bool, subpixel: bool, robust: bool
+                ) -> Tuple[TrackerState, jax.Array]:
+    """K dynamic steps in ONE dispatch: ``lax.scan`` over a (K, H, W)
+    frame chunk, returning the K depth maps batched. The tracker state
+    is donated, so the megastep is allocation-free across chunks."""
+    def body(s, f):
+        s, res = dynamic_step(s, f, tables, cfg, scale_gradient,
+                              subpixel, robust)
+        return s, res.z
+    return jax.lax.scan(body, state, frames)
+
+
+def stream_chunks(state: TrackerState, frames: Iterable[np.ndarray],
+                  tables: TriangulationTables, cfg: SystemConfig,
+                  chunk: int,
+                  scale_gradient: bool = True, subpixel: bool = True,
+                  robust: bool = True
+                  ) -> Iterator[Tuple[TrackerState, jax.Array]]:
+    """Chunked streaming megastep (VERDICT r2 item 1): amortize host
+    dispatch over K frames per device program.
+
+    The per-frame loop (``stream_frames``) pays one RPC dispatch per
+    frame; through a tunneled or otherwise dispatch-bound host link
+    (~3 ms/step here) that floor caps throughput far below what the
+    chip sustains (0.47 ms/frame at 2 MP). This variant scans K frames
+    per dispatch (``_chunk_scan``) with the NEXT chunk's H2D transfer
+    issued before blocking on the current chunk's compute, so
+    steady-state wall time per frame is
+
+        max(device_step, H2D/frame) + dispatch_RPC / K.
+
+    Latency/throughput trade: results arrive K frames at a time, so
+    per-frame latency grows to ~K * device_step; pick K to clear the
+    dispatch floor, not more (K=16 at 2 MP ≈ 7.5 ms chunk latency).
+
+    Yields (state, z_stack) per chunk, z_stack (k, H, W) float32 with
+    k == ``chunk`` except for a possibly-smaller final chunk, which is
+    run frame-at-a-time through the already-compiled single-step path
+    to avoid a tail-shape recompile. Frames may be host numpy arrays
+    (stacked then transferred once per chunk) or device arrays
+    (stacked on device, no host round-trip).
+
+    The frame-to-frame dependency P[f] = P[f-1] + deltaP
+    (CCalculation.cpp:656-660) is preserved exactly: the scan is
+    sequential on device; chunking changes dispatch granularity, not
+    semantics (parity-tested in tests/test_streaming.py).
+    """
+    assert chunk >= 1
+
+    def put(buf):
+        if isinstance(buf[0], jax.Array):
+            return jnp.stack(buf)          # device-side, no host trip
+        return jax.device_put(np.stack(buf))
+
+    pending = None
+    buf: List[np.ndarray] = []
+    for f in frames:
+        buf.append(f)
+        if len(buf) == chunk:
+            dev = put(buf)                 # async H2D for chunk i+1
+            buf = []
+            if pending is not None:
+                state, zs = _chunk_scan(state, pending, tables, cfg,
+                                        scale_gradient, subpixel, robust)
+                yield state, zs
+            pending = dev
+    if pending is not None:
+        state, zs = _chunk_scan(state, pending, tables, cfg,
+                                scale_gradient, subpixel, robust)
+        yield state, zs
+    if buf:
+        # Ragged tail: single-step path (no new chunk-shape compile).
+        for f in buf:
+            state, res = dynamic_step(state, jax.device_put(f), tables,
+                                      cfg, scale_gradient, subpixel,
+                                      robust)
+            yield state, res.z[None]
 
 
 def measure_overlap(state: TrackerState, frames: List[np.ndarray],
@@ -185,7 +272,9 @@ def run_streaming(state: TrackerState, frames: Iterable[np.ndarray],
                   tables: TriangulationTables, cfg: SystemConfig,
                   sync_every: int = 1,
                   scale_gradient: bool = True, subpixel: bool = True,
-                  fetch: Optional[Callable[[FrameResult], object]] = None
+                  fetch: Optional[Callable[[FrameResult], object]] = None,
+                  chunk: int = 1,
+                  fetch_z: Optional[Callable[[jax.Array], object]] = None
                   ) -> Tuple[TrackerState, StreamStats]:
     """Drive the streaming loop measuring per-frame wall latency.
 
@@ -195,8 +284,29 @@ def run_streaming(state: TrackerState, frames: Iterable[np.ndarray],
     the per-frame result consumer (default: async z host copy); pass
     e.g. ``lambda r: r`` to keep results device-resident when the
     host link is slow (tunneled TPU).
+
+    ``chunk`` > 1 switches to the chunked megastep (``stream_chunks``):
+    one dispatch + one sync per K frames, for dispatch-bound host
+    links. ``fetch_z`` is the chunked path's result consumer, called
+    with each (k, H, W) z stack (default: stays device-resident;
+    ``sync_every`` and ``fetch`` are ignored in chunked mode).
     """
     lat: List[float] = []
+    if chunk > 1:
+        t0 = time.perf_counter()
+        for state, zs in stream_chunks(state, frames, tables, cfg,
+                                       chunk,
+                                       scale_gradient=scale_gradient,
+                                       subpixel=subpixel):
+            if fetch_z is not None:
+                fetch_z(zs)
+            jax.block_until_ready(state.z)
+            now = time.perf_counter()
+            k = int(zs.shape[0])
+            lat.extend([(now - t0) / k] * k)
+            t0 = now
+        return state, StreamStats(lat)
+
     t0 = time.perf_counter()
     last = None
     for i, (state, res) in enumerate(

@@ -26,12 +26,13 @@ def resize_bilinear(img, zoom: float) -> np.ndarray:
     """Bilinear resize by a scale factor, with OpenCV's pixel-center
     mapping src = (dst + 0.5)/zoom - 0.5 — the ``resize`` call inside
     CVisualization::Show (CVisualization.cpp:24-25, INTER_LINEAR
-    default). Output size floors like cv::Size(w*zoom, h*zoom)."""
+    default). Output size rounds to nearest like cv::Size's
+    saturate_cast<int>(w*zoom) (not floor: 100 * 2.9999999 -> 300)."""
     a = np.asarray(img)
     if zoom == 1.0:
         return a
     h, w = a.shape[:2]
-    oh, ow = max(int(h * zoom), 1), max(int(w * zoom), 1)
+    oh, ow = max(int(round(h * zoom)), 1), max(int(round(w * zoom)), 1)
     sy = np.clip((np.arange(oh) + 0.5) * (h / oh) - 0.5, 0, h - 1)
     sx = np.clip((np.arange(ow) + 0.5) * (w / ow) - 0.5, 0, w - 1)
     y0 = np.floor(sy).astype(np.int64)

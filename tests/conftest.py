@@ -34,6 +34,30 @@ else:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def assert_heterodyne_parity(pu, ref_pu, fine_period, max_divergent):
+    """Tight Pallas<->XLA heterodyne parity (VERDICT r2 item 5): the
+    fp-reassociation beat-order flips must be pinned by COUNT (not
+    fraction), each divergent pixel's error must be exactly +-1 FINE
+    fringe order, and the divergence must be spatially isolated (no
+    2x2 block fully divergent — a coherent region would mean a real
+    kernel bug, not rounding). A regression that doubles boundary
+    flips fails the count bound. Returns the agreement mask."""
+    err = np.asarray(pu) - np.asarray(ref_pu)
+    div = np.abs(err) >= 1e-2
+    n = int(div.sum())
+    assert n <= max_divergent, (
+        f"{n} beat-order-divergent pixels (bound {max_divergent})")
+    if n:
+        orders = err[div] / fine_period
+        np.testing.assert_allclose(
+            np.abs(orders), 1.0, atol=0.02,
+            err_msg="divergence is not exactly +-1 fine fringe order")
+        blk = (div[:-1, :-1] & div[1:, :-1]
+               & div[:-1, 1:] & div[1:, 1:])
+        assert not blk.any(), "coherent 2x2 divergent region"
+    return ~div
+
+
 @pytest.fixture(scope="session")
 def eight_devices():
     devs = jax.devices()

@@ -16,6 +16,7 @@ scaling path on CPU, per SURVEY.md §4 item (4).
 import json
 import os
 import sys
+import time
 import traceback
 
 # Backend setup must precede the jax import (one CPU "chip" group per
@@ -135,6 +136,26 @@ def main() -> dict:
             n_shards += 1
 
     valid_frac = float(metrics["valid_frac"])
+
+    # Optional weak-scaling measurement (VERDICT r2 item 2): constant
+    # per-process work (1 scan x a fixed tile grid per process), wall
+    # time of the steady-state distributed step loop. Efficiency at N
+    # processes = t(1 proc) / t(N procs); each step's psum + halo
+    # ppermute synchronize the cluster, so per-rank wall times agree.
+    bench_frames = int(os.environ.get("SLC_BENCH_FRAMES", "0"))
+    bench_s = None
+    if bench_frames:
+        st = new_states
+        st, _, _ = tiled_batched_dynamic_step(st, frames_g, tables,
+                                              CFG, mesh)   # warm (cached)
+        jax.block_until_ready(st.z)
+        t0 = time.perf_counter()
+        for _ in range(bench_frames):
+            st, _, _ = tiled_batched_dynamic_step(st, frames_g, tables,
+                                                  CFG, mesh)
+        jax.block_until_ready(st.z)
+        bench_s = (time.perf_counter() - t0) / bench_frames
+
     res = {
         "process_index": ctx.process_index,
         "process_count": ctx.process_count,
@@ -147,6 +168,7 @@ def main() -> dict:
         "valid_frac": valid_frac,
         "golden_valid_frac": golden_valid_frac,
         "sum_err": abs(total - expect_total),
+        "bench_s_per_frame": bench_s,
         "ok": (max_z_err < 1e-3 and max_pu_err < 1e-4
                and abs(valid_frac - golden_valid_frac) < 1e-5
                and abs(total - expect_total) < 1e-2

@@ -88,6 +88,27 @@ def test_dataset_frames_native_path(tmp_path, rng):
     np.testing.assert_array_equal(got_tail, frames[5:])
 
 
+def test_dataset_frames_skip_bad_frame(tmp_path, rng):
+    """frames() skips an undecodable frame and continues — identical
+    semantics on the native and Python paths (ADVICE r2: the native
+    path used to die via ``yield from``, the Python path silently
+    truncated)."""
+    h, w = 16, 32
+    gray = rng.integers(0, 256, (4, h, w), dtype=np.uint8)
+    phase = rng.integers(0, 256, (3, h, w), dtype=np.uint8)
+    frames = rng.integers(0, 256, (5, h, w), dtype=np.uint8)
+    root = str(tmp_path / "ds")
+    write_replay_dataset(root, gray, phase, frames=frames)
+    with open(os.path.join(root, "cFrame", "dynaCam2.bmp"), "wb") as f:
+        f.write(b"corrupt, not a bmp")
+    ds = ReplayDataset(root)
+    want = np.stack([frames[i] for i in (0, 1, 3, 4)])
+    np.testing.assert_array_equal(
+        np.stack(list(ds.frames(native=True))), want)
+    np.testing.assert_array_equal(
+        np.stack(list(ds.frames(native=False))), want)
+
+
 def test_dataset_frames_fallback_on_shape_mismatch(tmp_path, rng):
     """A dataset whose on-disk frame size differs from the manifest must
     fall back to the Python reader (delivering the actual frames), not

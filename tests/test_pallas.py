@@ -95,12 +95,14 @@ def test_pallas_fused_heterodyne_matches_xla(rng):
         periods=het.periods(cfg.pro_w), extent=float(cfg.pro_w),
         n_steps=het.phase_steps, fov_min=cfg.fov_min,
         fov_max=cfg.fov_max, block_h=32, interpret=True)
-    # fp reassociation can flip the beat-order rounding on a handful of
-    # boundary pixels; require exact agreement on 99.9%+ and tight
-    # tolerance there.
-    dpu = np.abs(np.asarray(pu) - np.asarray(ref.proj_u))
-    assert np.mean(dpu < 1e-2) > 0.999, np.mean(dpu < 1e-2)
-    m = dpu < 1e-2
+    # fp reassociation can flip the beat-order rounding on isolated
+    # boundary pixels; pin the count (measured: 0 in interpret mode),
+    # require any flip be exactly +-1 fine order and spatially
+    # isolated (conftest.assert_heterodyne_parity).
+    from conftest import assert_heterodyne_parity
+    m = assert_heterodyne_parity(pu, ref.proj_u,
+                                 het.periods(cfg.pro_w)[0],
+                                 max_divergent=8)
     np.testing.assert_allclose(np.asarray(z)[m], np.asarray(ref.z)[m],
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(x)[m], np.asarray(ref.x)[m],
@@ -168,6 +170,32 @@ def test_pallas_fused_grayphase_matches_xla(rng):
                                    atol=1e-3)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref.y),
                                    atol=1e-3)
+
+
+@pytest.mark.parametrize("window", [5, 8, 21])
+@pytest.mark.parametrize("subpixel", [False, True])
+def test_sliding_extrema_tournament_matches_scan(rng, window, subpixel):
+    """mathx.sliding_extrema's packed log-depth tournament must equal
+    the reference linear scan (ops.stripe.windowed_extrema_raw)
+    bit-exactly on integer-valued input — including the center-wins and
+    leftmost-wins tie-breaks, which the few-distinct-values input below
+    exercises densely. Interior columns only (the two paths encode the
+    wrap differently and both are masked in the kernels)."""
+    from slc_tpu.pallas.mathx import sliding_extrema
+    from slc_tpu.ops.stripe import windowed_extrema_raw
+    h, w = 24, 256
+    # Few distinct values -> dense ties; scaled to stay within the
+    # packed encoding's documented domain [0, 255*window] (the box-sum
+    # bound the production kernels guarantee).
+    vs = jnp.asarray(rng.integers(0, 6, (h, w)).astype(np.float32)
+                     * (255 * window // 5))
+    roll = lambda a, k: jnp.roll(a, -k, axis=1)
+    gm, gn = sliding_extrema(vs, window, w, roll, subpixel)
+    rm, rn = windowed_extrema_raw(vs, window, subpixel)
+    r = window // 2
+    sl = (slice(None), slice(r, w - r))
+    np.testing.assert_array_equal(np.asarray(gm)[sl], np.asarray(rm)[sl])
+    np.testing.assert_array_equal(np.asarray(gn)[sl], np.asarray(rn)[sl])
 
 
 def test_sliding_row_sum_matches_naive(rng):

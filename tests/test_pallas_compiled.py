@@ -99,12 +99,15 @@ def test_compiled_heterodyne_matches_xla(rng):
         periods=het.periods(cfg.pro_w), extent=float(cfg.pro_w),
         n_steps=het.phase_steps, fov_min=cfg.fov_min,
         fov_max=cfg.fov_max)
-    # Same beat-order rounding caveat as the interpreter test
-    # (test_pallas.py:98-104): fp reassociation in the compiled kernel
-    # can flip order rounding on isolated boundary pixels.
-    dpu = np.abs(np.asarray(pu) - np.asarray(ref.proj_u))
-    assert np.mean(dpu < 1e-2) > 0.999, np.mean(dpu < 1e-2)
-    m = dpu < 1e-2
+    # Same beat-order rounding caveat as the interpreter test: fp
+    # reassociation in the compiled kernel can flip order rounding on
+    # isolated boundary pixels. Count pinned (~300 max at this scale,
+    # <0.1%), each flip exactly +-1 fine order, no coherent region
+    # (conftest.assert_heterodyne_parity).
+    from conftest import assert_heterodyne_parity
+    m = assert_heterodyne_parity(pu, ref.proj_u,
+                                 het.periods(cfg.pro_w)[0],
+                                 max_divergent=300)
     np.testing.assert_allclose(np.asarray(z)[m], np.asarray(ref.z)[m],
                                atol=1e-3)
 

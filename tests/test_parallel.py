@@ -53,6 +53,33 @@ def test_tiled_absolute_decode_matches_single(eight_devices, rig):
     np.testing.assert_array_equal(np.asarray(got.x), np.asarray(ref.x))
 
 
+def test_tiled_heterodyne_decode_matches_single(eight_devices, rig):
+    """Tile-parallel heterodyne decode == single-device XLA path,
+    bit-exact (pointwise math, identical per tile; only the global
+    back-projection coordinates differ structurally)."""
+    from slc_tpu.config import HeterodyneConfig
+    from slc_tpu.pipeline import decode_heterodyne_frame
+    from slc_tpu.parallel import tiled_heterodyne_decode
+
+    calib, tables = rig
+    het = HeterodyneConfig()
+    mesh = tile_mesh(eight_devices, tiles=(2, 4))
+    imgs, _, _ = synth.render_fringe_stack(
+        calib, CFG, synth.plane_surface(55.0, 0.1, 0.05),
+        het.periods(CFG.pro_w), het.phase_steps, noise_sigma=1.0)
+    imgs = jnp.asarray(imgs)
+
+    ref = decode_heterodyne_frame(imgs, tables, CFG, het,
+                                  use_pallas=False)
+    got = tiled_heterodyne_decode(shard_image(imgs, mesh), tables, CFG,
+                                  het, mesh)
+    np.testing.assert_array_equal(np.asarray(got.proj_u),
+                                  np.asarray(ref.proj_u))
+    np.testing.assert_array_equal(np.asarray(got.z), np.asarray(ref.z))
+    np.testing.assert_array_equal(np.asarray(got.x), np.asarray(ref.x))
+    np.testing.assert_array_equal(np.asarray(got.y), np.asarray(ref.y))
+
+
 @pytest.mark.parametrize("subpixel", [False, True])
 def test_tiled_stripe_regression_matches_single(eight_devices, rng, subpixel):
     mesh = tile_mesh(eight_devices, tiles=(4, 2))

@@ -40,6 +40,71 @@ def test_streaming_matches_synchronous():
         np.testing.assert_array_equal(a, b)
 
 
+def test_chunked_stream_matches_per_frame():
+    """stream_chunks (K frames per lax.scan dispatch) must reproduce
+    the per-frame loop bit-exactly, including a ragged tail chunk and
+    device-array inputs."""
+    from slc_tpu.streaming import stream_chunks
+
+    calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
+                                  pro_h=CFG.pro_h, pro_w=CFG.pro_w)
+    tables = build_tables(calib, CFG.cam_h, CFG.cam_w)
+    frames, zs, pus = synth.render_dynamic_sequence(
+        calib, CFG, 9, z0=50.0, dz_per_frame=0.4, stripe_period=12)
+
+    def mk_state():
+        return init_tracker(jnp.asarray(frames[0]),
+                            jnp.asarray(pus[0], jnp.float32),
+                            jnp.asarray(zs[0], jnp.float32), CFG)
+
+    state = mk_state()
+    ref_z = []
+    for f in range(1, 9):
+        state, res = dynamic_step(state, jnp.asarray(frames[f]),
+                                  tables, CFG)
+        ref_z.append(np.asarray(res.z))
+    ref_pu = np.asarray(state.proj_u)
+
+    # 8 frames in chunks of 3 -> 3 + 3 + ragged tail of 2.
+    got_z = []
+    for st, z_stack in stream_chunks(mk_state(), list(frames[1:]),
+                                     tables, CFG, chunk=3):
+        got_z.extend(np.asarray(z_stack))
+    assert len(got_z) == 8
+    for a, b in zip(got_z, ref_z):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(np.asarray(st.proj_u), ref_pu)
+
+    # Device-array feed stacks on device; same results.
+    dev = [jnp.asarray(f) for f in frames[1:]]
+    got2 = []
+    for st2, z_stack in stream_chunks(mk_state(), dev, tables, CFG,
+                                      chunk=4):
+        got2.extend(np.asarray(z_stack))
+    for a, b in zip(got2, ref_z):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_run_streaming_chunked_stats():
+    from slc_tpu.streaming import run_streaming
+
+    calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
+                                  pro_h=CFG.pro_h, pro_w=CFG.pro_w)
+    tables = build_tables(calib, CFG.cam_h, CFG.cam_w)
+    frames, zs, pus = synth.render_dynamic_sequence(
+        calib, CFG, 7, z0=50.0, dz_per_frame=0.4, stripe_period=12)
+    state = init_tracker(jnp.asarray(frames[0]),
+                         jnp.asarray(pus[0], jnp.float32),
+                         jnp.asarray(zs[0], jnp.float32), CFG)
+    fetched = []
+    _, stats = run_streaming(state, frames[1:], tables, CFG, chunk=3,
+                             fetch_z=lambda z: fetched.append(z.shape))
+    s = stats.summary()
+    assert s["frames"] == 6 and s["fps"] > 0
+    assert fetched == [(3, CFG.cam_h, CFG.cam_w),
+                       (3, CFG.cam_h, CFG.cam_w)]
+
+
 def test_run_streaming_stats():
     calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
                                   pro_h=CFG.pro_h, pro_w=CFG.pro_w)
