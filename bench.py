@@ -464,15 +464,17 @@ def bench_scaling():
             times.append(r["bench_s_per_frame"])
         return max(times)          # slowest rank = cluster step time
 
-    t1 = run_cluster(1)
-    t2 = run_cluster(2)
-    eff2 = t1 / t2
+    # Best-of-2 per cluster size: single-run CPU wall noise is ~±8%,
+    # enough to report a nonsense >1.0 efficiency.
+    t1 = min(run_cluster(1) for _ in range(2))
+    t2 = min(run_cluster(2) for _ in range(2))
+    eff2 = min(t1 / t2, 1.0)
     emit("c_scaling_efficiency_2proc", round(eff2, 3), "fraction",
          round(eff2 / 0.8, 3), t1_ms=round(t1 * 1e3, 2),
          t2_ms=round(t2 * 1e3, 2),
          oversubscribed=(2 > ncores), cores=ncores)
-    t4 = run_cluster(4)
-    eff4 = t1 / t4
+    t4 = min(run_cluster(4) for _ in range(2))
+    eff4 = min(t1 / t4, 1.0)
     emit("c_scaling_efficiency_4proc", round(eff4, 3), "fraction",
          round(eff4 / 0.8, 3), t4_ms=round(t4 * 1e3, 2),
          oversubscribed=(4 > ncores), cores=ncores)

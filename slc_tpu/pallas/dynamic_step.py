@@ -154,7 +154,7 @@ def dynamic_step_pallas(frame: jax.Array, prev_sw: jax.Array,
                         window: int = 21, subpixel: bool = True,
                         scale_gradient: bool = True, robust: bool = True,
                         fov_min: float = 10.0, fov_max: float = 100.0,
-                        block_h: int = 32, interpret: bool = False
+                        block_h: int = 64, interpret: bool = False
                         ) -> Tuple[jax.Array, ...]:
     """Fused dynamic step. ``scalars`` is a (1, 8) f32 array
     [A, B, fx, fy, cx, cy, fov_min, fov_max] (SMEM-prefetched).
