@@ -484,7 +484,8 @@ def bench_rooflines():
     """Achieved fraction of HBM peak for each fused Pallas kernel at
     2 MP. Bytes moved are the analytic kernel footprints (per pixel):
     stripe 1u8 in + 2f32 out = 9 B; dynamic step 1u8 + 5f32 in +
-    6f32 out = 45 B; heterodyne 12u8 + 2f32 in + 4f32 out = 36 B.
+    6f32 out = 45 B; heterodyne 12u8 + 2f32 in + 4f32 out = 36 B;
+    grayphase 16u8 + 2f32 in + 4f32 out = 40 B.
 
     Timing is ON-DEVICE via the JAX profiler (slc_tpu.devtime): host
     wall clock through the tunneled TPU both under-measures (async
@@ -541,6 +542,20 @@ def bench_rooflines():
             fov_min=cfg.fov_min, fov_max=cfg.fov_max))
     line("heterodyne", dt, 36 * px)
     emit("device_fps_heterodyne_decode_2mp", round(1.0 / dt, 1), "fps",
+         round(1.0 / dt / 60.0, 3))
+
+    from slc_tpu.pallas.grayphase import grayphase_decode_pallas
+    n_gp = 2 * cfg.gray_bits + cfg.phase_steps
+    gp_imgs = jnp.asarray(rng.integers(0, 256, (n_gp, H2MP, W2MP),
+                                       np.uint8))
+    dt = device_time_s(
+        lambda: grayphase_decode_pallas(
+            gp_imgs, tables.c, tables.d, scalars,
+            gray_bits=cfg.gray_bits, gray_period=float(cfg.gray_period),
+            phase_period=float(cfg.phase_period), n_steps=cfg.phase_steps,
+            fov_min=cfg.fov_min, fov_max=cfg.fov_max))
+    line("grayphase", dt, (n_gp + 24) * px)
+    emit("device_fps_grayphase_decode_2mp", round(1.0 / dt, 1), "fps",
          round(1.0 / dt / 60.0, 3))
 
 

@@ -62,7 +62,10 @@ class MetricsLog:
         short = name.rsplit("/", 1)[-1]
         entry = {f"t_{short}_ms": round(wall_s * 1e3, 3)}
         if bytes_moved is not None and wall_s > 0:
-            entry[f"gbps_{short}"] = round(bytes_moved / wall_s / 1e9, 2)
+            # 3 significant digits, not fixed decimals: tiny test-scale
+            # stages are fractions of a MB and must not round to 0.
+            gbps = bytes_moved / wall_s / 1e9
+            entry[f"gbps_{short}"] = float(f"{gbps:.3g}")
         self._pending_stages.update(entry)
 
     def log_frame(self, frame_idx: int, stats: Dict[str, jax.Array],

@@ -130,7 +130,7 @@ def grayphase_decode_pallas(images: jax.Array, c: jax.Array, d: jax.Array,
                             phase_period: float, n_steps: int = 4,
                             min_modulation: Optional[float] = None,
                             fov_min: float = 10.0, fov_max: float = 100.0,
-                            block_h: int = 64, interpret: bool = False
+                            block_h: int = 32, interpret: bool = False
                             ) -> Tuple[jax.Array, ...]:
     """Fused Gray+phase absolute decode. ``images`` is the concatenated
     (2*gray_bits + n_steps, H, W) uint8 stack — Gray pattern/inverse
