@@ -54,32 +54,144 @@ def edge_weights(quality: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return wy, wx
 
 
+def _edge_scatter(dy: jax.Array, dx: jax.Array) -> jax.Array:
+    """out_i = sum over incident edges, oriented away from i: the
+    shared divergence pattern of the Laplacian matvec and the RHS —
+    written with concatenate/subtract rather than scatter-adds, which
+    XLA TPU lowers to pure fused vector ops (the .at[].add form left
+    the CG matvec scatter-bound)."""
+    zrow = jnp.zeros((1, dy.shape[1]), dy.dtype)
+    zcol = jnp.zeros((dx.shape[0], 1), dx.dtype)
+    return (jnp.concatenate([zrow, dy], axis=0)
+            - jnp.concatenate([dy, zrow], axis=0)
+            + jnp.concatenate([zcol, dx], axis=1)
+            - jnp.concatenate([dx, zcol], axis=1))
+
+
 def _matvec(p: jax.Array, wy: jax.Array, wx: jax.Array) -> jax.Array:
     """(A p)_i = sum_j w_ij (p_i - p_j) over the 4-neighborhood —
     the weighted graph Laplacian as a 5-point stencil."""
-    out = jnp.zeros_like(p)
-    dy = wy * (p[1:, :] - p[:-1, :])
-    out = out.at[1:, :].add(dy).at[:-1, :].add(-dy)
-    dx = wx * (p[:, 1:] - p[:, :-1])
-    out = out.at[:, 1:].add(dx).at[:, :-1].add(-dx)
-    return out
+    return _edge_scatter(wy * (p[1:, :] - p[:-1, :]),
+                         wx * (p[:, 1:] - p[:, :-1]))
 
 
 def _rhs(dy, dx, wy, wx) -> jax.Array:
     """b_i = sum_j w_ij d_ij with d oriented away from i."""
-    b = jnp.zeros((dy.shape[0] + 1, dx.shape[1] + 1), dy.dtype)
-    wdy = wy * dy
-    b = b.at[1:, :].add(wdy).at[:-1, :].add(-wdy)
-    wdx = wx * dx
-    b = b.at[:, 1:].add(wdx).at[:, :-1].add(-wdx)
-    return b
+    return _edge_scatter(wy * dy, wx * dx)
 
 
 def _diag(wy, wx) -> jax.Array:
-    d = jnp.zeros((wy.shape[0] + 1, wx.shape[1] + 1), wy.dtype)
-    d = d.at[1:, :].add(wy).at[:-1, :].add(wy)
-    d = d.at[:, 1:].add(wx).at[:, :-1].add(wx)
+    zrow = jnp.zeros((1, wy.shape[1]), wy.dtype)
+    zcol = jnp.zeros((wx.shape[0], 1), wx.dtype)
+    d = (jnp.concatenate([zrow, wy], axis=0)
+         + jnp.concatenate([wy, zrow], axis=0)
+         + jnp.concatenate([zcol, wx], axis=1)
+         + jnp.concatenate([wx, zcol], axis=1))
     return jnp.maximum(d, 1e-8)
+
+
+def _tpu_layout() -> bool:
+    """Transfer-operator idiom selection: on TPU, combined even+odd
+    lane-strided reads lower to a gather ~200x slower than
+    reshape-and-reduce (22 ms vs 0.1 ms for the 2 MP restriction); on
+    CPU the reshape form is the slow one (non-vectorized inner-dim
+    reductions inside the CG while_loop). Trace-time switch; the two
+    forms differ only in fp association."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def lane_pair_sum(a: jax.Array) -> jax.Array:
+    """Sum of adjacent column pairs: (n, 2m) -> (n, m)."""
+    if _tpu_layout():
+        return a.reshape(a.shape[0], -1, 2).sum(-1)
+    return a[:, 0::2] + a[:, 1::2]
+
+
+def coarsen_weights(wy: jax.Array, wx: jax.Array, h: int, w: int
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """EXACT Galerkin coarse operator for 2x2 piecewise-constant
+    aggregation: A_c = P^T A P of a graph Laplacian is again a graph
+    Laplacian whose coarse edge weight is the sum of the fine edge
+    weights crossing the cell cut (in-cell edges vanish). The vertical
+    cut between coarse rows I, I+1 is fine edge row 2I+1; columns pair
+    up within the cell."""
+    cut_y = wy[1::2, :]                          # (hc-1, w)
+    if w % 2:
+        cut_y = jnp.pad(cut_y, ((0, 0), (0, 1)))
+    wy_c = lane_pair_sum(cut_y)
+    cut_x = wx[:, 1::2]                          # (h, wc-1)
+    if h % 2:
+        cut_x = jnp.pad(cut_x, ((0, 1), (0, 0)))
+    wx_c = cut_x[0::2, :] + cut_x[1::2, :]       # row strides are cheap
+    return wy_c, wx_c
+
+
+def restrict2(x: jax.Array) -> jax.Array:
+    """P^T: 2x2 cell sums (zero-padded to even)."""
+    h, w = x.shape
+    if h % 2 or w % 2:
+        x = jnp.pad(x, ((0, h % 2), (0, w % 2)))
+    if _tpu_layout():
+        hp, wp = x.shape
+        a = x.reshape(hp, wp // 2, 2).sum(-1)
+        return a.reshape(hp // 2, 2, wp // 2).sum(1)
+    return (x[0::2, 0::2] + x[1::2, 0::2]
+            + x[0::2, 1::2] + x[1::2, 1::2])
+
+
+def prolong2(e: jax.Array, h: int, w: int) -> jax.Array:
+    """P: repeat each coarse value to its 2x2 cell."""
+    if _tpu_layout():
+        hc, wc = e.shape
+        a = jnp.broadcast_to(e[:, :, None], (hc, wc, 2)
+                             ).reshape(hc, 2 * wc)
+        a = jnp.broadcast_to(a[:, None, :], (hc, 2, 2 * wc)
+                             ).reshape(2 * hc, 2 * wc)
+        return a[:h, :w]
+    return jnp.repeat(jnp.repeat(e, 2, axis=0), 2, axis=1)[:h, :w]
+
+
+def build_mg_levels(wy: jax.Array, wx: jax.Array, h: int, w: int,
+                    coarsest: int = 32) -> list:
+    """Fine-to-coarse hierarchy of (wy, wx, dinv, (h, w)) via the exact
+    Galerkin aggregation of :func:`coarsen_weights` (static recursion —
+    shapes known at trace time)."""
+    levels = [(wy, wx, 1.0 / _diag(wy, wx), (h, w))]
+    while min(levels[-1][3]) > coarsest:
+        lwy, lwx, _, (lh, lw) = levels[-1]
+        cwy, cwx = coarsen_weights(lwy, lwx, lh, lw)
+        ch, cw = -(-lh // 2), -(-lw // 2)
+        levels.append((cwy, cwx, 1.0 / _diag(cwy, cwx), (ch, cw)))
+    return levels
+
+
+def vcycle(r: jax.Array, levels: list, nu: int = 2,
+           omega: float = 0.9, coarse_sweeps: int = 96) -> jax.Array:
+    """One symmetric V(nu, nu) multigrid cycle approximating A^{-1} r:
+    damped-Jacobi pre-smooth, exact-Galerkin coarse-grid correction
+    (recursive), damped-Jacobi post-smooth. All operations are LINEAR
+    and symmetric in ``r`` (equal smoothing counts, P/P^T transfer), so
+    this is a valid SPD preconditioner for CG — which is the point:
+    plain Jacobi-PCG stalls on the low-frequency error of the weighted
+    Poisson system (round-2 bench capped at 300 iterations at 2 MP);
+    the V-cycle contracts every frequency band at its own scale."""
+    wy, wx, dinv, (h, w) = levels[0]
+    om = jnp.float32(omega)
+    e = om * dinv * r                     # first Jacobi sweep from e=0
+    if len(levels) == 1:
+        # fori_loop, not unrolled: ~100 unrolled sweep subgraphs made
+        # XLA-CPU compile of the enclosing PCG while_loop take minutes.
+        def sweep(_, ee):
+            return ee + om * dinv * (r - _matvec(ee, wy, wx))
+        return jax.lax.fori_loop(0, coarse_sweeps - 1, sweep, e)
+    for _ in range(nu - 1):
+        e = e + om * dinv * (r - _matvec(e, wy, wx))
+    rc = restrict2(r - _matvec(e, wy, wx))
+    e = e + prolong2(vcycle(rc, levels[1:], nu, omega, coarse_sweeps),
+                     h, w)
+    for _ in range(nu):
+        e = e + om * dinv * (r - _matvec(e, wy, wx))
+    return e
 
 
 def residues(psi: jax.Array, period: float) -> jax.Array:
@@ -127,12 +239,14 @@ def suspect_edges(p: jax.Array, psi: jax.Array, period: float,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("period", "max_iters", "return_info"))
+                   static_argnames=("period", "max_iters", "return_info",
+                                    "mg"))
 def unwrap_spatial(psi: jax.Array, period: float,
                    quality: Optional[jax.Array] = None,
                    max_iters: int = 300, tol: float = 1e-4,
                    anchor: Optional[jax.Array] = None,
-                   return_info: bool = False):
+                   return_info: bool = False,
+                   mg: bool = True):
     """Weighted-LS spatial unwrap of wrapped coordinate ``psi`` in
     [0, T).
 
@@ -164,10 +278,18 @@ def unwrap_spatial(psi: jax.Array, period: float,
     wy, wx = edge_weights(quality.astype(jnp.float32))
     b = _rhs(dy, dx, wy, wx)
     dinv = 1.0 / _diag(wy, wx)
+    if mg:
+        # Multigrid-preconditioned CG (``vcycle``): plain Jacobi-PCG
+        # stalls on low-frequency error at MP scales.
+        levels = build_mg_levels(wy, wx, psi.shape[0], psi.shape[1])
+        precond = lambda r: vcycle(r, levels)
+    else:
+        precond = lambda r: dinv * r
 
-    p0 = (anchor.astype(jnp.float32) if anchor is not None else psi)
+    anc = (anchor.astype(jnp.float32) if anchor is not None else psi)
+    p0 = anc
     r0 = b - _matvec(p0, wy, wx)
-    z0 = dinv * r0
+    z0 = precond(r0)
     b_norm = jnp.sqrt(jnp.sum(b * b)) + 1e-20
 
     def cond(carry):
@@ -181,7 +303,7 @@ def unwrap_spatial(psi: jax.Array, period: float,
         alpha = rz / jnp.maximum(jnp.sum(d * ad), 1e-20)
         p = p + alpha * d
         r = r - alpha * ad
-        z_new = dinv * r
+        z_new = precond(r)
         beta = jnp.sum(r * z_new) / jnp.maximum(rz, 1e-20)
         return p, r, z_new, z_new + beta * d, it + 1
 
@@ -191,7 +313,7 @@ def unwrap_spatial(psi: jax.Array, period: float,
     # Remove the nullspace drift relative to the anchor, then snap to
     # congruence with the measurement.
     wsum = jnp.maximum(quality.sum(), 1e-20)
-    shift = jnp.sum(quality * (p - p0)) / wsum
+    shift = jnp.sum(quality * (p - anc)) / wsum
     p = p - shift + jnp.round(shift / period) * period
     k = jnp.round((p - psi) / period)
     out = psi + k * jnp.float32(period)
@@ -205,7 +327,7 @@ def unwrap_spatial(psi: jax.Array, period: float,
     # The anchor (a coarse absolute estimate) is the only signal that
     # exposes such whole-region order offsets; flag where the solution
     # moved >= 1 order away from it.
-    dis = jnp.abs(out - p0) > jnp.float32(period) / 2.0
+    dis = jnp.abs(out - anc) > jnp.float32(period) / 2.0
     info = {
         "cg_iters": iters,
         "rel_residual": jnp.sqrt(jnp.sum(r_fin * r_fin)) / b_norm,

@@ -20,7 +20,9 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from slc_tpu.ops.unwrap_spatial import wrap_to_half
+from slc_tpu.ops.unwrap_spatial import (wrap_to_half, build_mg_levels,
+                                        lane_pair_sum, restrict2, prolong2,
+                                        vcycle as _vcycle_single)
 from slc_tpu.parallel.halo import halo_exchange
 from slc_tpu.parallel.mesh import SCAN, TILE_Y, TILE_X
 
@@ -44,19 +46,58 @@ def _neighbor_stack(x_ext: jax.Array) -> tuple:
     return up, down, left, right
 
 
+def _gather_global(x: jax.Array) -> jax.Array:
+    """Assemble the full (global_h, global_w) array on every device
+    from its (tile_h, tile_w) shards (all_gather over both tile axes,
+    concatenating in tile order)."""
+    g = jax.lax.all_gather(x, TILE_Y, axis=0, tiled=True)
+    return jax.lax.all_gather(g, TILE_X, axis=1, tiled=True)
+
+
+def _coarsen_nbr(wn: tuple) -> tuple:
+    """Per-tile exact Galerkin 2x2 aggregation of the neighbor-edge
+    weight maps (ops.unwrap_spatial.coarsen_weights in the tiled
+    (up, down, left, right) representation; tile dims must be even so
+    no cell straddles a tile boundary). Cross-tile edges stay correct:
+    a tile's row-0 ``up`` weights already encode the neighbor tile via
+    the fine-level halo exchange of quality."""
+    up, dn, lt, rt = wn
+    return (lane_pair_sum(up[0::2, :]),
+            lane_pair_sum(dn[1::2, :]),
+            (lt[0::2, :] + lt[1::2, :])[:, 0::2],
+            (rt[0::2, :] + rt[1::2, :])[:, 1::2])
+
+
+def _restrict_local(x: jax.Array) -> jax.Array:
+    return restrict2(x)           # tile dims are even (enforced)
+
+
+def _prolong_local(e: jax.Array, h: int, w: int) -> jax.Array:
+    return prolong2(e, h, w)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("period", "mesh", "max_iters",
-                                    "return_info"))
+                                    "return_info", "mg"))
 def tiled_unwrap_spatial(psi: jax.Array, period: float, mesh,
                          quality: Optional[jax.Array] = None,
                          max_iters: int = 300, tol: float = 1e-4,
                          anchor: Optional[jax.Array] = None,
-                         return_info: bool = False):
+                         return_info: bool = False,
+                         mg: bool = True):
     """Distributed version of slc_tpu.ops.unwrap_spatial.unwrap_spatial;
-    same operator, same CG, numerically lockstep across tiles. With
-    ``return_info=True`` also returns the same diagnostics dict
-    (cg_iters / rel_residual replicated scalars; residue and suspect
-    counts psum-reduced across tiles; ``suspect`` mask tile-sharded)."""
+    same operator, same CG, numerically lockstep across tiles — the
+    multigrid preconditioner included: V-cycle levels stay tile-sharded
+    (per-tile Galerkin aggregation + halo-exchange Jacobi smoothing)
+    while tile dims are even and the global grid is above the coarsest
+    threshold, then the remaining small levels are all_gather'd and run
+    REPLICATED through the single-device ``vcycle`` code itself — the
+    level schedule is a function of the global shape only, so it is
+    identical to the single-device solver's wherever the switch
+    happens. With ``return_info=True`` also returns the same
+    diagnostics dict (cg_iters / rel_residual replicated scalars;
+    residue and suspect counts psum-reduced across tiles; ``suspect``
+    mask tile-sharded)."""
     if quality is None:
         quality = jnp.ones_like(psi, dtype=jnp.float32)
     if anchor is None:
@@ -73,12 +114,16 @@ def tiled_unwrap_spatial(psi: jax.Array, period: float, mesh,
         d_nbr = tuple(wrap_to_half(psi_t - pn, period)
                       for pn in _neighbor_stack(psi_ext))
 
-        def matvec(p):
-            p_ext = halo_exchange(p, 1, 1)
-            out = jnp.zeros_like(p)
-            for w_, pn in zip(w_nbr, _neighbor_stack(p_ext)):
-                out = out + w_ * (p - pn)
-            return out
+        def mk_matvec(wn):
+            def mv(p):
+                p_ext = halo_exchange(p, 1, 1)
+                out = jnp.zeros_like(p)
+                for w_, pn in zip(wn, _neighbor_stack(p_ext)):
+                    out = out + w_ * (p - pn)
+                return out
+            return mv
+
+        matvec = mk_matvec(w_nbr)
 
         b = jnp.zeros_like(psi_t)
         diag = jnp.zeros_like(psi_t)
@@ -90,9 +135,61 @@ def tiled_unwrap_spatial(psi: jax.Array, period: float, mesh,
         def dot(a, c):
             return _psum_all(jnp.sum(a * c))
 
+        if mg:
+            # Sharded V-cycle levels (see docstring). Same nu/omega/
+            # coarsest parameters as ops.unwrap_spatial.vcycle.
+            NU, OMEGA, CS, COARSEST = 2, jnp.float32(0.9), 96, 32
+            ty_n = jax.lax.axis_size(TILE_Y)
+            tx_n = jax.lax.axis_size(TILE_X)
+            th, tw = psi_t.shape
+            gh, gw = th * ty_n, tw * tx_n
+            shard_levels = []
+            cw, cth, ctw = w_nbr, th, tw
+            while (min(gh, gw) > COARSEST
+                   and cth % 2 == 0 and ctw % 2 == 0):
+                dg = cw[0] + cw[1] + cw[2] + cw[3]
+                shard_levels.append(
+                    (cw, 1.0 / jnp.maximum(dg, 1e-8)))
+                cw = _coarsen_nbr(cw)
+                cth //= 2
+                ctw //= 2
+                gh //= 2
+                gw //= 2
+            # Replicated continuation: reassemble the switch level's
+            # weights into the single-device (wy, wx) format and let
+            # ops.vcycle finish the hierarchy (same global schedule).
+            wy_g = _gather_global(cw[0])[1:, :]
+            wx_g = _gather_global(cw[2])[:, 1:]
+            sub_levels = build_mg_levels(wy_g, wx_g, gh, gw,
+                                         coarsest=COARSEST)
+            iy = jax.lax.axis_index(TILE_Y)
+            ix = jax.lax.axis_index(TILE_X)
+
+            def vt(r, li):
+                if li == len(shard_levels):
+                    e_g = _vcycle_single(_gather_global(r), sub_levels,
+                                         NU, 0.9, CS)
+                    return jax.lax.dynamic_slice(
+                        e_g, (iy * r.shape[0], ix * r.shape[1]),
+                        r.shape)
+                wn, dinv_l = shard_levels[li]
+                mv = mk_matvec(wn)
+                e = OMEGA * dinv_l * r
+                for _ in range(NU - 1):
+                    e = e + OMEGA * dinv_l * (r - mv(e))
+                rc = _restrict_local(r - mv(e))
+                e = e + _prolong_local(vt(rc, li + 1), *r.shape)
+                for _ in range(NU):
+                    e = e + OMEGA * dinv_l * (r - mv(e))
+                return e
+
+            precond = lambda r: vt(r, 0)
+        else:
+            precond = lambda r: dinv * r
+
         p0 = p0_t.astype(jnp.float32)
         r0 = b - matvec(p0)
-        z0 = dinv * r0
+        z0 = precond(r0)
         b_norm = jnp.sqrt(dot(b, b)) + 1e-20
 
         def cond(carry):
@@ -106,7 +203,7 @@ def tiled_unwrap_spatial(psi: jax.Array, period: float, mesh,
             alpha = rz / jnp.maximum(dot(d, ad), 1e-20)
             p = p + alpha * d
             r = r - alpha * ad
-            z_new = dinv * r
+            z_new = precond(r)
             beta = dot(r, z_new) / jnp.maximum(rz, 1e-20)
             return p, r, z_new, z_new + beta * d, it + 1
 

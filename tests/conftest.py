@@ -21,12 +21,15 @@ import pytest
 
 import jax  # noqa: E402  (after env setup)
 
-if not _USE_TPU:
-    # The environment may pin JAX_PLATFORMS to a TPU platform before
-    # python starts (e.g. a site hook); the env vars above are then
-    # ignored, so force the CPU backend explicitly too.
+if not _USE_TPU and jax.config.jax_platforms != "cpu":
+    # A site hook may pin jax_platforms at the CONFIG level (e.g.
+    # 'axon,cpu'), overriding the env vars above; force the CPU
+    # backend. Checked via the config value, NOT jax.default_backend():
+    # probing the default backend would initialize the site's TPU
+    # platform first, after which the update no longer redirects
+    # already-created contexts and tests silently run on the TPU.
     jax.config.update("jax_platforms", "cpu")
-else:
+if _USE_TPU:
     # TPU compiles through a tunnel are slow; persist them.
     _cache = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache")

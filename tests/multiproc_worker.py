@@ -32,7 +32,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import numpy as np
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if jax.config.jax_platforms != "cpu":
+    # Config-value check, not a default_backend() probe — the probe
+    # would initialize the site's TPU platform (tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
