@@ -142,16 +142,21 @@ def sliding_extrema(vs, window: int, pad_w: int, roll, subpixel: bool):
     bitwise complement within the value field). The sliding max itself
     uses the same power-of-two doubling as :func:`sliding_row_sum`:
     O(log window) roll+max passes instead of the 2r-step dependent
-    scan. Both parabola neighbors ride through the tournament in ONE
-    extra int32 carry word per family, (vs[j-1] << V) | vs[j+1],
-    selected on the same comparison mask — ~25 lane-rolls total in
-    sub-pixel mode vs the scan's 22 rolls + ~200 dependent
-    compare/selects. Everything is EXACT, not approximate: the
-    encoding requires integer-valued ``vs`` in [0, 255*window] with
-    V + C <= 31 (and 2V <= 31 for the neighbor word), which holds for
-    the production kernels (uint8 box sums, window 21 -> V = 13,
-    width <= 2048 -> C = 11); otherwise this falls back to the linear
     scan.
+
+    Sub-pixel mode exploits that the parabolic refine at the winning
+    column c depends only on (vs[c-1], vs[c], vs[c+1]) — a pure
+    per-COLUMN quantity: frac[j] is computed once and rides through
+    the tournament as a single f32 carry selected on the same
+    comparison mask; the refined offset is idx + frac[argmax] with the
+    integer idx decoded from the packed word (bit-exact vs the scan —
+    folding frac into an absolute-column carry would round it against
+    the column magnitude). ~24 lane-rolls total in sub-pixel mode vs
+    the scan's 22 rolls + ~200 dependent compare/selects. Everything is
+    EXACT, not approximate: the encoding requires integer-valued ``vs``
+    in [0, 255*window] with V + C <= 31 bits, which holds for the
+    production kernels (uint8 box sums, window 21 -> V = 13, width <=
+    2048 -> C = 11); otherwise this falls back to the linear scan.
 
     Returns (max_idx, min_idx) float32 offset maps (unmasked; callers
     apply the interior mask).
@@ -167,7 +172,7 @@ def sliding_extrema(vs, window: int, pad_w: int, roll, subpixel: bool):
         shift *= 2
         cbits += 1
     vbits = (255 * window + 1).bit_length()
-    if (vbits + cbits > 31 or (subpixel and 2 * vbits > 31)) or w < 2:
+    if vbits + cbits > 31 or w < 2:
         return _extrema_scan(vs, r, roll, subpixel)
     cap = (1 << vbits) - 1
 
@@ -177,11 +182,11 @@ def sliding_extrema(vs, window: int, pad_w: int, roll, subpixel: bool):
     pmax0 = (vsi << cbits) | code
     pmin0 = ((vsi ^ cap) << cbits) | code
     if subpixel:
-        # Neighbor word: value at col-1 in the high half, col+1 low.
-        nb0 = (roll(vsi, -1) << vbits) | roll(vsi, 1)
-        nb_leaf = roll(nb0, -r)
+        frac0 = _parabolic_refine(jnp.float32(0.0), vs,
+                                  roll(vs, -1), roll(vs, 1))
+        frac_leaf = roll(frac0, -r)
     else:
-        nb0 = nb_leaf = None
+        frac0 = frac_leaf = None
 
     def merge(a, b, s):
         """Combine window a=[i, i+p) with b shifted by s; leftmost-wins
@@ -197,7 +202,7 @@ def sliding_extrema(vs, window: int, pad_w: int, roll, subpixel: bool):
         # Leaf window-start alignment: level-1 element i covers source
         # column i - r, so the final fold directly yields the window
         # [i-r, i+r) of output pixel i.
-        levels = {1: (roll(packed0, -r), nb_leaf)}
+        levels = {1: (roll(packed0, -r), frac_leaf)}
         p = 1
         while 2 * p <= w:
             levels[2 * p] = merge(levels[p], levels[p], p)
@@ -215,20 +220,16 @@ def sliding_extrema(vs, window: int, pad_w: int, roll, subpixel: bool):
         return acc
 
     def decode(acc, neg):
-        M, nb = acc
+        M, frac = acc
         vali = M >> cbits
-        argcol = (shift - 1) - (M & (shift - 1))
         if neg:
             vali = vali ^ cap
         center = vsi == vali                     # center wins any tie
+        argcol = (shift - 1) - (M & (shift - 1))
         idx = jnp.where(center, 0, argcol - coli).astype(jnp.float32)
         if not subpixel:
             return idx
-        nbv = jnp.where(center, nb0, nb)
-        vm = (nbv >> vbits).astype(jnp.float32)
-        vp = (nbv & cap).astype(jnp.float32)
-        return _parabolic_refine(idx, vali.astype(jnp.float32), vm, vp)
-
+        return idx + jnp.where(center, frac0, frac)
     max_idx = decode(tourney(pmax0), neg=False)
     min_idx = decode(tourney(pmin0), neg=True)
     return max_idx, min_idx

@@ -199,18 +199,17 @@ def test_sliding_extrema_tournament_matches_scan(rng, window, subpixel):
 
 
 def test_sliding_extrema_fallback_matches_scan(rng):
-    """Inputs outside the packed encoding's exact domain (a window so
-    large the two-neighbor carry word would need 2V = 34 > 31 bits)
-    must fall back to the literal linear scan and agree with
-    windowed_extrema_raw everywhere — float (non-integer) values
-    included, since the scan never packs."""
+    """Inputs outside the packed encoding's exact domain (value bits +
+    column-code bits > 31) must fall back to the literal linear scan
+    and agree with windowed_extrema_raw everywhere — float
+    (non-integer) values included, since the scan never packs."""
     from slc_tpu.pallas.mathx import sliding_extrema
     from slc_tpu.ops.stripe import windowed_extrema_raw
     h, w = 8, 256
-    window = 301                   # V = 17 value bits -> 2V > 31
+    window = 301                   # V = 17 bits; with C = 21 -> > 31
     vs = jnp.asarray(rng.uniform(0, 1000, (h, w)).astype(np.float32))
     roll = lambda a, k: jnp.roll(a, -k, axis=1)
-    gm, gn = sliding_extrema(vs, window, w, roll, True)
+    gm, gn = sliding_extrema(vs, window, 2 ** 21, roll, True)
     rm, rn = windowed_extrema_raw(vs, window, True)
     np.testing.assert_array_equal(np.asarray(gm), np.asarray(rm))
     np.testing.assert_array_equal(np.asarray(gn), np.asarray(rn))

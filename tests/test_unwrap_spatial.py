@@ -222,3 +222,82 @@ def test_unwrap_iteration_cap_is_reported(rng):
                              return_info=True)
     assert int(info["cg_iters"]) == 3
     assert float(info["rel_residual"]) > 1e-4
+
+
+# --- multigrid preconditioner math (round 3) -------------------------
+
+def _dense_laplacian(wy, wx):
+    """Dense weighted graph Laplacian from edge-weight maps (numpy)."""
+    h, w = wy.shape[0] + 1, wy.shape[1]
+    n = h * w
+    A = np.zeros((n, n))
+    idx = lambda i, j: i * w + j
+    for i in range(h - 1):
+        for j in range(w):
+            a, b, wt = idx(i, j), idx(i + 1, j), wy[i, j]
+            A[a, a] += wt; A[b, b] += wt
+            A[a, b] -= wt; A[b, a] -= wt
+    for i in range(h):
+        for j in range(w - 1):
+            a, b, wt = idx(i, j), idx(i, j + 1), wx[i, j]
+            A[a, a] += wt; A[b, b] += wt
+            A[a, b] -= wt; A[b, a] -= wt
+    return A
+
+
+def test_coarsen_weights_is_exact_galerkin(rng):
+    """A_c built by coarsen_weights must equal P^T A P for the 2x2
+    piecewise-constant aggregation P — the property that makes the
+    V-cycle's coarse correction exact, not approximate."""
+    from slc_tpu.ops.unwrap_spatial import coarsen_weights
+    h, w = 8, 12
+    wy = rng.uniform(0.1, 1.0, (h - 1, w)).astype(np.float32)
+    wx = rng.uniform(0.1, 1.0, (h, w - 1)).astype(np.float32)
+    wy_c, wx_c = coarsen_weights(jnp.asarray(wy), jnp.asarray(wx), h, w)
+    A = _dense_laplacian(wy, wx)
+    hc, wc = h // 2, w // 2
+    P = np.zeros((h * w, hc * wc))
+    for i in range(h):
+        for j in range(w):
+            P[i * w + j, (i // 2) * wc + (j // 2)] = 1.0
+    A_want = P.T @ A @ P
+    A_got = _dense_laplacian(np.asarray(wy_c), np.asarray(wx_c))
+    np.testing.assert_allclose(A_got, A_want, atol=1e-5)
+
+
+def test_restrict_prolong_are_adjoint(rng):
+    """<P e, r> == <e, P^T r>: restriction must be the exact transpose
+    of prolongation (required for the preconditioner's symmetry)."""
+    from slc_tpu.ops.unwrap_spatial import restrict2, prolong2
+    h, w = 10, 14
+    r = rng.normal(size=(h, w)).astype(np.float32)
+    e = rng.normal(size=(h // 2, w // 2)).astype(np.float32)
+    lhs = float(np.sum(np.asarray(prolong2(jnp.asarray(e), h, w)) * r))
+    rhs = float(np.sum(e * np.asarray(restrict2(jnp.asarray(r)))))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+def test_vcycle_is_linear_and_symmetric(rng):
+    """The V-cycle must be a LINEAR operator in r (else it is not a
+    valid CG preconditioner) and symmetric in the <.,.> inner product
+    (equal pre/post smoothing, P/P^T transfers)."""
+    from slc_tpu.ops.unwrap_spatial import (build_mg_levels, vcycle,
+                                            edge_weights)
+    h, w = 40, 48
+    q = rng.uniform(0.2, 1.0, (h, w)).astype(np.float32)
+    wy, wx = edge_weights(jnp.asarray(q))
+    levels = build_mg_levels(wy, wx, h, w, coarsest=16)
+    assert len(levels) >= 2
+    r1 = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+    r2 = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+    m = lambda r: vcycle(r, levels)
+    # Linearity.
+    lin = np.asarray(m(2.5 * r1 - 0.5 * r2))
+    np.testing.assert_allclose(lin,
+                               2.5 * np.asarray(m(r1))
+                               - 0.5 * np.asarray(m(r2)),
+                               atol=1e-3)
+    # Symmetry: <M r1, r2> == <r1, M r2>.
+    a = float(jnp.sum(m(r1) * r2))
+    b = float(jnp.sum(r1 * m(r2)))
+    np.testing.assert_allclose(a, b, rtol=1e-4)
