@@ -156,14 +156,15 @@ def decode_heterodyne_frame(fringe_images: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "period", "min_modulation",
-                                    "unwrap_iters", "filter_depth"))
+                                    "unwrap_iters", "filter_depth", "mg"))
 def decode_spatial_frame(fringe_images: jax.Array,
                          tables: TriangulationTables, cfg: SystemConfig,
                          period: float,
                          anchor: Optional[jax.Array] = None,
                          min_modulation: float = 2.0,
                          unwrap_iters: int = 300,
-                         filter_depth: bool = True) -> FrameResult:
+                         filter_depth: bool = True,
+                         mg: bool = True) -> FrameResult:
     """Single-frequency decode with quality-guided SPATIAL unwrapping
     (BASELINE config 3; no reference equivalent — the reference needs
     Gray codes or temporal continuity for absolute phase):
@@ -174,11 +175,15 @@ def decode_spatial_frame(fringe_images: jax.Array,
     ``anchor`` optionally pins the global fringe order (e.g. a previous
     absolute map); without it the result is correct up to one global
     period offset, which triangulation maps to a depth offset.
+    ``mg`` selects the multigrid-preconditioned CG (default; converges
+    at MP scales where plain Jacobi-PCG caps out — see
+    ops.unwrap_spatial.vcycle).
     """
     wrapped = decode_phase(fringe_images, period)
     quality = modulation(fringe_images)
     proj_u = unwrap_spatial(wrapped, period, quality=quality,
-                            max_iters=unwrap_iters, anchor=anchor)
+                            max_iters=unwrap_iters, anchor=anchor,
+                            mg=mg)
     valid = quality > min_modulation
     proj_u = jnp.where(valid, proj_u, 0.0)
     x, y, z = triangulate_xyz(proj_u, tables, cfg.fov_min, cfg.fov_max,
