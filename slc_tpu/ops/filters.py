@@ -37,18 +37,33 @@ def box_blur(x: jax.Array, size: int = 3) -> jax.Array:
 box_blur_3x3 = functools.partial(box_blur, size=3)
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
+@functools.partial(jax.jit, static_argnames=("radius", "hole_aware",
+                                             "use_pallas"))
 def bilateral_filter(img: jax.Array, radius: int = 1,
                      sigma_color: float = 10.0,
                      sigma_space: float = 25.0,
-                     hole_aware: bool = True) -> jax.Array:
+                     hole_aware: bool = True,
+                     use_pallas: bool = None) -> jax.Array:
     """Brute-force bilateral filter over a (2r+1)^2 stencil.
 
     Matches the parameterization of the reference call
     (depthMapUtils.cpp:179: d=3 -> radius 1, sigmaColor=10, sigmaSpace=25).
     With ``hole_aware`` (framework improvement), pixels where img == 0 are
     treated as missing: they get zero weight and remain zero.
+
+    ``use_pallas=None`` auto-selects the fused single-HBM-pass kernel
+    (slc_tpu.pallas.bilateral) on TPU for the hole-aware path — the
+    roll-per-tap XLA form below makes ~18 full-image HBM round trips.
+    Interior results are identical; borders differ (the fused kernel
+    treats out-of-image neighbors as missing instead of wrapping).
     """
+    if use_pallas is None:
+        use_pallas = (hole_aware
+                      and jax.default_backend() in ("tpu", "axon"))
+    if use_pallas and hole_aware:
+        from slc_tpu.pallas.bilateral import bilateral_filter_pallas
+        return bilateral_filter_pallas(img, radius, sigma_color,
+                                       sigma_space)
     x = img.astype(jnp.float32)
     inv2sc = jnp.float32(-0.5 / (sigma_color * sigma_color))
     inv2ss = jnp.float32(-0.5 / (sigma_space * sigma_space))

@@ -45,3 +45,21 @@ def test_bilateral_hole_aware(rng):
     out = np.asarray(bilateral_filter(jnp.asarray(img)))
     assert (out[10:14, 10:14] == 0.0).all()       # holes stay holes
     assert (out[img != 0] != 0).all()             # valid stays valid
+
+
+def test_bilateral_pallas_matches_xla_interior(rng):
+    """The fused Pallas bilateral kernel must match the XLA roll-per-tap
+    path on all interior pixels (borders differ by design: the kernel
+    treats out-of-image neighbors as missing, the XLA path wraps)."""
+    from slc_tpu.pallas.bilateral import bilateral_filter_pallas
+    h, w = 72, 100
+    z = 50.0 + rng.normal(0, 0.4, size=(h, w)).astype(np.float32)
+    z[rng.uniform(size=(h, w)) < 0.05] = 0.0       # holes
+    zj = jnp.asarray(z)
+    ref = np.asarray(bilateral_filter(zj, use_pallas=False))
+    got = np.asarray(bilateral_filter_pallas(zj, block_h=32,
+                                             interpret=True))
+    np.testing.assert_allclose(got[1:-1, 1:-1], ref[1:-1, 1:-1],
+                               atol=1e-4)
+    # Holes stay holes in both.
+    np.testing.assert_array_equal(got == 0.0, z == 0.0)
