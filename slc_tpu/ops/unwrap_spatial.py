@@ -90,6 +90,17 @@ def _diag(wy, wx) -> jax.Array:
     return jnp.maximum(d, 1e-8)
 
 
+# Multigrid-preconditioner hyperparameters (shared with the tiled
+# solver, slc_tpu.parallel.unwrap_tiled — both must use the same cycle
+# for the single/tiled lockstep guarantee). Tuned on the 2 MP bench
+# scene: nu=2/omega=0.9/96 coarsest sweeps gave the fewest PCG
+# iterations (93) of the swept configurations; omega=1.0 diverges.
+MG_NU = 2
+MG_OMEGA = 0.9
+MG_COARSE_SWEEPS = 96
+MG_COARSEST = 32
+
+
 def _tpu_layout() -> bool:
     """Transfer-operator idiom selection: on TPU, combined even+odd
     lane-strided reads lower to a gather ~200x slower than
@@ -152,7 +163,7 @@ def prolong2(e: jax.Array, h: int, w: int) -> jax.Array:
 
 
 def build_mg_levels(wy: jax.Array, wx: jax.Array, h: int, w: int,
-                    coarsest: int = 32) -> list:
+                    coarsest: int = MG_COARSEST) -> list:
     """Fine-to-coarse hierarchy of (wy, wx, dinv, (h, w)) via the exact
     Galerkin aggregation of :func:`coarsen_weights` (static recursion —
     shapes known at trace time)."""
@@ -165,8 +176,9 @@ def build_mg_levels(wy: jax.Array, wx: jax.Array, h: int, w: int,
     return levels
 
 
-def vcycle(r: jax.Array, levels: list, nu: int = 2,
-           omega: float = 0.9, coarse_sweeps: int = 96) -> jax.Array:
+def vcycle(r: jax.Array, levels: list, nu: int = MG_NU,
+           omega: float = MG_OMEGA,
+           coarse_sweeps: int = MG_COARSE_SWEEPS) -> jax.Array:
     """One symmetric V(nu, nu) multigrid cycle approximating A^{-1} r:
     damped-Jacobi pre-smooth, exact-Galerkin coarse-grid correction
     (recursive), damped-Jacobi post-smooth. All operations are LINEAR

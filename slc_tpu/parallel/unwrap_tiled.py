@@ -22,6 +22,8 @@ from jax.sharding import PartitionSpec as P
 
 from slc_tpu.ops.unwrap_spatial import (wrap_to_half, build_mg_levels,
                                         lane_pair_sum, restrict2, prolong2,
+                                        MG_NU, MG_OMEGA, MG_COARSE_SWEEPS,
+                                        MG_COARSEST,
                                         vcycle as _vcycle_single)
 from slc_tpu.parallel.halo import halo_exchange
 from slc_tpu.parallel.mesh import SCAN, TILE_Y, TILE_X
@@ -138,7 +140,8 @@ def tiled_unwrap_spatial(psi: jax.Array, period: float, mesh,
         if mg:
             # Sharded V-cycle levels (see docstring). Same nu/omega/
             # coarsest parameters as ops.unwrap_spatial.vcycle.
-            NU, OMEGA, CS, COARSEST = 2, jnp.float32(0.9), 96, 32
+            NU, CS, COARSEST = MG_NU, MG_COARSE_SWEEPS, MG_COARSEST
+            OMEGA = jnp.float32(MG_OMEGA)
             ty_n = jax.lax.axis_size(TILE_Y)
             tx_n = jax.lax.axis_size(TILE_X)
             th, tw = psi_t.shape
@@ -168,7 +171,7 @@ def tiled_unwrap_spatial(psi: jax.Array, period: float, mesh,
             def vt(r, li):
                 if li == len(shard_levels):
                     e_g = _vcycle_single(_gather_global(r), sub_levels,
-                                         NU, 0.9, CS)
+                                         NU, MG_OMEGA, CS)
                     return jax.lax.dynamic_slice(
                         e_g, (iy * r.shape[0], ix * r.shape[1]),
                         r.shape)
