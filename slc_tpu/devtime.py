@@ -3,7 +3,11 @@
 Host wall-clock through a tunneled TPU is unreliable in both
 directions: asynchronous dispatch can under-measure (block_until_ready
 returning before device completion in some runtime states) and RPC
-round trips can over-measure by 5-30x. The profiler's XLA device
+round trips can over-measure by 5-30x. The worst observed case is
+data-dependent ``lax.while_loop`` programs (the CG unwrap solver):
+block_until_ready returned in ~0.9 ms for a solve whose device trace
+shows 36 ms — wall-clock "measurements" of such programs through the
+tunnel are meaningless; use this module. The profiler's XLA device
 trace records the actual on-device duration of each executable, which
 is what a roofline comparison needs.
 """

@@ -43,21 +43,35 @@ def _kernel(scal_ref, img_ref, c_ref, d_ref,
     fracs = []  # wrapped fractional phase u_f = (x mod T_f) / T_f
     mod_sq = None
     for f, period in enumerate(periods):
-        s = None
-        c = None
-        for k in range(n):
-            ck = math.cos(_TWO_PI * k / n)
-            sk = math.sin(_TWO_PI * k / n)
-            if abs(ck) < 1e-12 and abs(sk) < 1e-12:
-                continue
-            # Mosaic has no direct u8->f32 cast; widen to i32 first.
-            img = img_ref[f * n + k].astype(jnp.int32).astype(jnp.float32)
-            if abs(ck) >= 1e-12:
-                t = img * jnp.float32(ck * 2.0 / n)
-                s = t if s is None else s + t
-            if abs(sk) >= 1e-12:
-                t = img * jnp.float32(sk * 2.0 / n)
-                c = t if c is None else c + t
+        if n == 4:
+            # 4-step closed form (the reference's own case,
+            # CDecodePhase.cpp:59-62): the cos/sin factors are exactly
+            # {1, 0, -1, 0} / {0, 1, 0, -1}, so the accumulators are
+            # INTEGER image differences — two u8->f32 cast chains per
+            # frequency instead of four, and no per-image multiplies.
+            s_i = (img_ref[f * n + 0].astype(jnp.int32)
+                   - img_ref[f * n + 2].astype(jnp.int32))
+            c_i = (img_ref[f * n + 1].astype(jnp.int32)
+                   - img_ref[f * n + 3].astype(jnp.int32))
+            s = s_i.astype(jnp.float32) * jnp.float32(0.5)
+            c = c_i.astype(jnp.float32) * jnp.float32(0.5)
+        else:
+            s = None
+            c = None
+            for k in range(n):
+                ck = math.cos(_TWO_PI * k / n)
+                sk = math.sin(_TWO_PI * k / n)
+                if abs(ck) < 1e-12 and abs(sk) < 1e-12:
+                    continue
+                # Mosaic has no direct u8->f32 cast; widen via i32.
+                img = img_ref[f * n + k].astype(jnp.int32
+                                                ).astype(jnp.float32)
+                if abs(ck) >= 1e-12:
+                    t = img * jnp.float32(ck * 2.0 / n)
+                    s = t if s is None else s + t
+                if abs(sk) >= 1e-12:
+                    t = img * jnp.float32(sk * 2.0 / n)
+                    c = t if c is None else c + t
         # atan2 -> wrapped px in (0, T], reference convention
         # (CDecodePhase.cpp:67-74), as in ops.phase.wrapped_phase_to_pixels.
         # Mosaic has no atan lowering; use the polynomial atan2 (mathx).
