@@ -62,18 +62,30 @@ def _kernel(scal_ref, img_ref, c_ref, d_ref,
     gray_coord = binary.astype(jnp.float32) * jnp.float32(gray_period)
 
     # --- N-step phase extraction (ops.phase.phase_sincos semantics).
-    s = None
-    c = None
-    for k in range(n):
-        ck = math.cos(_TWO_PI * k / n)
-        sk = math.sin(_TWO_PI * k / n)
-        img = img_ref[2 * b + k].astype(jnp.int32).astype(jnp.float32)
-        if abs(ck) >= 1e-12:
-            t = img * jnp.float32(ck * 2.0 / n)
-            s = t if s is None else s + t
-        if abs(sk) >= 1e-12:
-            t = img * jnp.float32(sk * 2.0 / n)
-            c = t if c is None else c + t
+    if n == 4:
+        # 4-step closed form: factors are exactly {1,0,-1,0}/{0,1,0,-1}
+        # so the accumulators are integer image differences
+        # (CDecodePhase.cpp:59-62; bit-identical to the general loop —
+        # f32 halves of u8 sums are exact).
+        s = (img_ref[2 * b + 0].astype(jnp.int32)
+             - img_ref[2 * b + 2].astype(jnp.int32)
+             ).astype(jnp.float32) * jnp.float32(0.5)
+        c = (img_ref[2 * b + 1].astype(jnp.int32)
+             - img_ref[2 * b + 3].astype(jnp.int32)
+             ).astype(jnp.float32) * jnp.float32(0.5)
+    else:
+        s = None
+        c = None
+        for k in range(n):
+            ck = math.cos(_TWO_PI * k / n)
+            sk = math.sin(_TWO_PI * k / n)
+            img = img_ref[2 * b + k].astype(jnp.int32).astype(jnp.float32)
+            if abs(ck) >= 1e-12:
+                t = img * jnp.float32(ck * 2.0 / n)
+                s = t if s is None else s + t
+            if abs(sk) >= 1e-12:
+                t = img * jnp.float32(sk * 2.0 / n)
+                c = t if c is None else c + t
     period = phase_period                    # T = 2 Gray bins
     ang = _atan2(s, c, bounded=True)
     ang = jnp.where(ang < 0, ang + jnp.float32(_TWO_PI), ang)
