@@ -57,10 +57,15 @@ def bilateral_filter(img: jax.Array, radius: int = 1,
     Interior results are identical; borders differ (the fused kernel
     treats out-of-image neighbors as missing instead of wrapping).
     """
+    if use_pallas and not hole_aware:
+        raise ValueError(
+            "the fused Pallas bilateral kernel only implements "
+            "hole-aware weighting; use hole_aware=True or "
+            "use_pallas=False")
     if use_pallas is None:
         use_pallas = (hole_aware
                       and jax.default_backend() in ("tpu", "axon"))
-    if use_pallas and hole_aware:
+    if use_pallas:
         from slc_tpu.pallas.bilateral import bilateral_filter_pallas
         return bilateral_filter_pallas(img, radius, sigma_color,
                                        sigma_space)

@@ -26,8 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(img_hbm, out_ref, scr, sem, *, radius: int, inv2sc: float,
-            inv2ss: float, block_h: int, img_w: int, pad_w: int,
-            s_rows: int):
+            inv2ss: float, block_h: int, pad_w: int, s_rows: int):
     r = radius
     i = pl.program_id(0)
     dma = pltpu.make_async_copy(
@@ -69,6 +68,13 @@ def bilateral_filter_pallas(img: jax.Array, radius: int = 1,
     r = radius
     h, w = img.shape
     pad_w = -(-w // 128) * 128
+    if pad_w - w < r:
+        # The lane rolls wrap at pad_w; the zero padding columns are
+        # what realizes the "out-of-image neighbors are missing" border
+        # rule. A width that is an exact lane-tile multiple (e.g. the
+        # reference's 1280) would otherwise wrap the left/right image
+        # borders into each other with nonzero weight.
+        pad_w += 128
     hb = -(-h // block_h) * block_h
     s_rows = -(-(block_h + 2 * r) // 8) * 8
     bot = (hb - h) + r + (s_rows - block_h - 2 * r)
@@ -78,7 +84,7 @@ def bilateral_filter_pallas(img: jax.Array, radius: int = 1,
         _kernel, radius=r,
         inv2sc=-0.5 / (sigma_color * sigma_color),
         inv2ss=-0.5 / (sigma_space * sigma_space),
-        block_h=block_h, img_w=w, pad_w=pad_w, s_rows=s_rows)
+        block_h=block_h, pad_w=pad_w, s_rows=s_rows)
 
     return pl.pallas_call(
         kernel,

@@ -55,14 +55,18 @@ class StreamStats:
 def stream_frames(state: TrackerState, frames: Iterable[np.ndarray],
                   tables: TriangulationTables, cfg: SystemConfig,
                   fetch: Optional[Callable[[FrameResult], object]] = None,
-                  scale_gradient: bool = True, subpixel: bool = True
+                  scale_gradient: bool = True, subpixel: bool = True,
+                  robust: bool = True
                   ) -> Iterator[Tuple[TrackerState, object]]:
     """Pipelined streaming loop. Yields (state, fetched) per frame where
     ``fetched`` is ``fetch(result)`` (default: the result with its z
     transferred host-side asynchronously one frame behind).
 
     The yielded state of frame f is NOT synchronized; callers needing
-    host values must block explicitly (the checkpoint path does).
+    host values must block explicitly (the checkpoint path does). The
+    carried state is DONATED into each step (dynamic_step semantics):
+    consume a yielded state before advancing the iterator — the
+    previous yield's buffers are reused by the next step.
     """
     if fetch is None:
         def fetch(res: FrameResult):
@@ -74,12 +78,12 @@ def stream_frames(state: TrackerState, frames: Iterable[np.ndarray],
         dev = jax.device_put(frame)         # async H2D for frame f+1
         if pending is not None:
             state, res = dynamic_step(state, pending, tables, cfg,
-                                      scale_gradient, subpixel)
+                                      scale_gradient, subpixel, robust)
             yield state, fetch(res)
         pending = dev
     if pending is not None:
         state, res = dynamic_step(state, pending, tables, cfg,
-                                  scale_gradient, subpixel)
+                                  scale_gradient, subpixel, robust)
         yield state, fetch(res)
 
 
@@ -130,6 +134,12 @@ def stream_chunks(state: TrackerState, frames: Iterable[np.ndarray],
     to avoid a tail-shape recompile. Frames may be host numpy arrays
     (stacked then transferred once per chunk) or device arrays
     (stacked on device, no host round-trip).
+
+    DONATION: like dynamic_step, the carried state is donated into
+    each megastep — the initial ``state`` and every yielded state
+    except the last are invalidated as the iteration advances. Snapshot
+    (e.g. ``jax.tree.map(np.asarray, st)``) before advancing if you
+    need to keep one.
 
     The frame-to-frame dependency P[f] = P[f-1] + deltaP
     (CCalculation.cpp:656-660) is preserved exactly: the scan is
@@ -274,9 +284,12 @@ def run_streaming(state: TrackerState, frames: Iterable[np.ndarray],
                   scale_gradient: bool = True, subpixel: bool = True,
                   fetch: Optional[Callable[[FrameResult], object]] = None,
                   chunk: int = 1,
-                  fetch_z: Optional[Callable[[jax.Array], object]] = None
+                  fetch_z: Optional[Callable[[jax.Array], object]] = None,
+                  robust: bool = True
                   ) -> Tuple[TrackerState, StreamStats]:
     """Drive the streaming loop measuring per-frame wall latency.
+    ``scale_gradient``/``subpixel``/``robust`` mirror dynamic_step's
+    tracker flags (all False = exact reference semantics).
 
     ``sync_every`` = N blocks on the depth map every N frames (N=1
     measures true per-frame latency; larger N measures pipelined
@@ -297,7 +310,8 @@ def run_streaming(state: TrackerState, frames: Iterable[np.ndarray],
         for state, zs in stream_chunks(state, frames, tables, cfg,
                                        chunk,
                                        scale_gradient=scale_gradient,
-                                       subpixel=subpixel):
+                                       subpixel=subpixel,
+                                       robust=robust):
             if fetch_z is not None:
                 fetch_z(zs)
             jax.block_until_ready(state.z)
@@ -312,7 +326,7 @@ def run_streaming(state: TrackerState, frames: Iterable[np.ndarray],
     for i, (state, res) in enumerate(
             stream_frames(state, frames, tables, cfg, fetch=fetch,
                           scale_gradient=scale_gradient,
-                          subpixel=subpixel)):
+                          subpixel=subpixel, robust=robust)):
         last = res
         if (i + 1) % sync_every == 0:
             # Block on the carried state's depth (always a device

@@ -63,3 +63,25 @@ def test_bilateral_pallas_matches_xla_interior(rng):
                                atol=1e-4)
     # Holes stay holes in both.
     np.testing.assert_array_equal(got == 0.0, z == 0.0)
+
+
+def test_bilateral_pallas_no_edge_wrap_at_lane_multiple_width(rng):
+    """Width an exact lane-tile multiple (the reference camera's 1280
+    is one): the kernel must still treat out-of-image columns as
+    missing, not wrap the left/right borders into each other
+    (code-review r3 finding — pad_w == w left no zero columns)."""
+    from slc_tpu.pallas.bilateral import bilateral_filter_pallas
+    h, w = 16, 128
+    z = np.full((h, w), 50.0, np.float32)
+    z[:, -1] = 80.0
+    out = np.asarray(bilateral_filter_pallas(jnp.asarray(z), block_h=16,
+                                             interpret=True))
+    # Column 0 must be untouched by the far-edge 80.0 values.
+    np.testing.assert_allclose(out[:, 0], 50.0, atol=1e-5)
+
+
+def test_bilateral_pallas_rejects_non_hole_aware():
+    import pytest
+    with pytest.raises(ValueError):
+        bilateral_filter(jnp.ones((8, 8), jnp.float32),
+                         hole_aware=False, use_pallas=True)

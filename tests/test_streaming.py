@@ -141,3 +141,46 @@ def test_measure_overlap_reports_consistent_timings():
     assert ov["frames"] == 4
     assert 0.0 <= ov["overlap_efficiency"] <= 1.0
     assert ov["pipelined_ms"] > 0 and ov["sequential_ms"] > 0
+
+
+def test_streaming_robust_flag_passthrough():
+    """robust=False must reach dynamic_step through both streaming
+    paths (code-review r3: it was silently pinned to True)."""
+    calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
+                                  pro_h=CFG.pro_h, pro_w=CFG.pro_w)
+    tables = build_tables(calib, CFG.cam_h, CFG.cam_w)
+    frames, zs, pus = synth.render_dynamic_sequence(
+        calib, CFG, 5, z0=50.0, dz_per_frame=0.4, stripe_period=12)
+
+    def mk_state(subpixel=True):
+        return init_tracker(jnp.asarray(frames[0]),
+                            jnp.asarray(pus[0], jnp.float32),
+                            jnp.asarray(zs[0], jnp.float32), CFG,
+                            subpixel=subpixel)
+
+    def ref(robust):
+        st = mk_state()
+        out = []
+        for f in range(1, 5):
+            st, res = dynamic_step(st, jnp.asarray(frames[f]), tables,
+                                   CFG, robust=robust)
+            out.append(np.asarray(res.z))
+        return out
+
+    ref_t, ref_f = ref(True), ref(False)
+    assert any(not np.array_equal(a, b) for a, b in zip(ref_t, ref_f)), \
+        "robust flag must change results on this scene"
+
+    got = [np.asarray(r.z) for _, r in
+           stream_frames(mk_state(), frames[1:], tables, CFG,
+                         robust=False)]
+    for a, b in zip(got, ref_f):
+        np.testing.assert_array_equal(a, b)
+
+    from slc_tpu.streaming import stream_chunks
+    got2 = []
+    for _, z_stack in stream_chunks(mk_state(), list(frames[1:]),
+                                    tables, CFG, chunk=2, robust=False):
+        got2.extend(np.asarray(z_stack))
+    for a, b in zip(got2, ref_f):
+        np.testing.assert_array_equal(a, b)
