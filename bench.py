@@ -510,7 +510,8 @@ def bench_rooflines():
     2 MP. Bytes moved are the analytic kernel footprints (per pixel):
     stripe 1u8 in + 2f32 out = 9 B; dynamic step 1u8 + 5f32 in +
     6f32 out = 45 B; heterodyne 12u8 + 2f32 in + 4f32 out = 36 B;
-    grayphase 16u8 + 2f32 in + 4f32 out = 40 B.
+    grayphase 16u8 + 2f32 in + 4f32 out = 40 B; bilateral 1f32 in +
+    1f32 out = 8 B.
 
     Timing is ON-DEVICE via the JAX profiler (slc_tpu.devtime): host
     wall clock through the tunneled TPU both under-measures (async
@@ -568,6 +569,12 @@ def bench_rooflines():
     line("heterodyne", dt, 36 * px)
     emit("device_fps_heterodyne_decode_2mp", round(1.0 / dt, 1), "fps",
          round(1.0 / dt / 60.0, 3))
+
+    from slc_tpu.pallas.bilateral import bilateral_filter_pallas
+    zmap = jnp.asarray(
+        (50.0 + rng.normal(0, 0.4, (H2MP, W2MP))).astype(np.float32))
+    dt = device_time_s(lambda: bilateral_filter_pallas(zmap))
+    line("bilateral", dt, 8 * px)
 
     from slc_tpu.pallas.grayphase import grayphase_decode_pallas
     n_gp = 2 * cfg.gray_bits + cfg.phase_steps
