@@ -310,6 +310,23 @@ def bench_config4():
     emit("c4_stream_fps_2mp_chunked_hostfeed", round(sth.fps, 2),
          "fps", round(sth.fps / 60.0, 3), chunk=K)
 
+    # (e') chunked, fully pipelined: dispatches enqueue ahead, ONE sync
+    # at the end — the steady-state throughput a co-located host sees,
+    # insensitive to the tunnel's per-RPC latency swings (the per-chunk
+    # line above pays one blocking round trip per chunk).
+    from slc_tpu.streaming import stream_chunks
+    best_p = 0.0
+    for _i in range(3):
+        st0 = fresh_state()
+        t0 = time.perf_counter()
+        n_done = 0
+        for st0, zs in stream_chunks(st0, dev_frames, tables, cfg, K):
+            n_done += int(zs.shape[0])
+        jax.block_until_ready(st0.z)
+        best_p = max(best_p, n_done / (time.perf_counter() - t0))
+    emit("c4_stream_fps_2mp_chunked_pipelined", round(best_p, 2),
+         "fps", round(best_p / 60.0, 3), chunk=K)
+
     # (d) transfer/compute overlap, measured: pipelined vs strict
     # sequential, with pure-compute and pure-transfer legs. Efficiency
     # 1.0 = the cheaper leg fully hidden under the other.
