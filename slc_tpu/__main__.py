@@ -110,6 +110,7 @@ def _cmd_capture(args, cfg) -> int:
                              "scene": args.scene,
                              "noise_sigma": args.noise,
                              "captured": True,
+                             "stripe_period": args.stripe_period,
                          })
     os.makedirs(args.out, exist_ok=True)
     save_calibration(os.path.join(args.out, "parameters.yml"), calib)
@@ -216,6 +217,21 @@ def main(argv=None) -> int:
     runp.add_argument("--preview", action="store_true",
                       help="write shaded depth preview BMPs (frame 0 "
                            "and the final frame)")
+    runp.add_argument("--phase-lock", default="auto",
+                      help="'auto' (default: lock to the manifest's "
+                           "stripe_period), 'off', or an explicit "
+                           "stripe period in projector px — snap the "
+                           "integrated P to the per-frame wrapped "
+                           "carrier phase (kills deltaP-integration "
+                           "drift)")
+    runp.add_argument("--out-format", choices=["xyz", "npz"],
+                      default="xyz",
+                      help="per-frame cloud format: reference-format "
+                           "ASCII or float32 npz maps (~40x faster)")
+    runp.add_argument("--strict-loop", action="store_true",
+                      help="reference-style synchronous read->step->"
+                           "write loop instead of the streaming "
+                           "prefetch + background-writer path")
     _add_cfg_args(runp)
 
     sy = sub.add_parser("synth", help="render a synthetic replay dataset")
@@ -304,10 +320,11 @@ def main(argv=None) -> int:
                 het.phase_steps, noise_sigma=args.noise)
         frames = None
         z0, dz = 50.0, 0.08
+        stripe_period = 12
         if args.frames:
             frames, _, _ = synth.render_dynamic_sequence(
                 calib, cfg, args.frames, z0=z0, dz_per_frame=dz,
-                stripe_period=12, noise_sigma=args.noise)
+                stripe_period=stripe_period, noise_sigma=args.noise)
         write_replay_dataset(args.out, scene.gray_images,
                              scene.phase_images, frames, fringes,
                              config_fields={
@@ -317,6 +334,7 @@ def main(argv=None) -> int:
                                  "scene": args.scene,
                                  "noise_sigma": args.noise,
                                  "anchor_every": args.anchor_every,
+                                 "stripe_period": stripe_period,
                              })
         if args.anchor_every:
             if args.scene != "plane":
@@ -344,13 +362,19 @@ def main(argv=None) -> int:
     if args.cmd == "run":
         from slc_tpu.runner import run_replay
         ref = args.reference_semantics
+        if args.phase_lock in ("auto", "off"):
+            lock = None if args.phase_lock == "off" else "auto"
+        else:
+            lock = float(args.phase_lock)
         report = run_replay(
             args.dataset, args.calib, args.out, cfg,
             max_frames=args.max_frames, write_clouds=not args.no_clouds,
             checkpoint_every=args.checkpoint_every, resume=args.resume,
             scale_gradient=not ref, subpixel=not ref, robust=not ref,
             mode=args.mode,
-            save_depth=args.save_depth, preview=args.preview)
+            save_depth=args.save_depth, preview=args.preview,
+            phase_lock=None if ref else lock,
+            out_format=args.out_format, stream=not args.strict_loop)
         last = report.metrics.records[-1] if report.metrics.records else {}
         print(f"done: frames={report.frames_done} "
               f"first_frame_points={report.first_frame_points} "

@@ -181,3 +181,83 @@ def write_xyz_rgb(path: str, cloud: np.ndarray, valid: np.ndarray,
             f.write(f"{p[0]:.7f} {p[1]:.7f} {p[2]:.7f} "
                     f"{q[0]} {q[1]} {q[2]}\n")
     return int(m.sum())
+
+
+def write_cloud_npz(path: str, x: np.ndarray, y: np.ndarray,
+                    z: np.ndarray) -> int:
+    """Machine-readable per-frame cloud: float32 x/y/z maps with pixel
+    indexing preserved (what the ASCII dump drops). ~40x faster to
+    serialize than the reference-format 'x y z' text and the natural
+    input for downstream fusion. Returns the valid-point count."""
+    x, y, z = (np.asarray(a, np.float32) for a in (x, y, z))
+    np.savez(path, x=x, y=y, z=z)
+    return int((z > 0).sum())
+
+
+class AsyncCloudWriter:
+    """Background point-cloud writer: takes per-frame results off the
+    reconstruction loop's critical path.
+
+    The reference blocks its dynamic loop on an ASCII dump every frame
+    (CCalculation::Result inside CalculateOther, CCalculation.cpp:
+    310-315) — in our CPU replay runs the write leg *exceeded* the
+    compute leg. ``submit`` starts the device->host copies
+    asynchronously (they ride under the next frame's compute) and hands
+    serialization to a writer thread; the loop only ever blocks if the
+    bounded queue backs up (i.e. sustained write rate < frame rate).
+
+    ``fmt``: "xyz" (reference-format ASCII via the native C++ writer)
+    or "npz" (float32 maps, ~40x faster to serialize).
+    """
+
+    def __init__(self, fmt: str = "xyz", queue_depth: int = 4):
+        import queue as _queue
+        import threading
+        if fmt not in ("xyz", "npz"):
+            raise ValueError(f"unknown cloud format {fmt!r}")
+        self.fmt = fmt
+        self.frames = 0
+        self.points = 0
+        self.total_wall_s = 0.0
+        self.errors: list = []
+        self._q: "_queue.Queue" = _queue.Queue(maxsize=queue_depth)
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def submit(self, path: str, x, y, z) -> None:
+        for a in (x, y, z):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+        self._q.put((path, x, y, z))
+
+    def _run(self) -> None:
+        import time
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            path, x, y, z = item
+            t0 = time.perf_counter()
+            try:
+                x, y, z = (np.asarray(a) for a in (x, y, z))
+                if self.fmt == "npz":
+                    self.points += write_cloud_npz(path, x, y, z)
+                else:
+                    self.points += write_xyz(path, x, y, z)
+                self.frames += 1
+            except Exception as e:            # surfaced via close()
+                self.errors.append(f"{path}: {e}")
+            self.total_wall_s += time.perf_counter() - t0
+
+    def close(self) -> dict:
+        """Flush, join, and return a summary (also raises the first
+        write error, if any — a silent lost frame is worse than a
+        failed run)."""
+        self._q.put(None)
+        self._t.join()
+        if self.errors:
+            raise IOError("async cloud writes failed: "
+                          + "; ".join(self.errors[:3]))
+        return {"writer_frames": self.frames,
+                "writer_points": self.points,
+                "writer_total_ms": round(self.total_wall_s * 1e3, 3)}

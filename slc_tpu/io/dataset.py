@@ -213,6 +213,58 @@ class ReplayDataset:
         except RuntimeError:
             return None
 
+    def indexed_frames(self, start: int = 0, stop: Optional[int] = None,
+                       prefetch: int = 4, native: bool = True
+                       ) -> Iterator[tuple]:
+        """Prefetched iteration with explicit index bookkeeping: yields
+        ``(i, frame, None)`` per decoded frame and ``(i, None, errmsg)``
+        for a frame that failed to read/decode — so consumers that
+        align frames to per-index state (the runner's fault records,
+        external ground truth) cannot silently desync the way the
+        plain :meth:`frames` skip could (ADVICE r3). Backed by the same
+        native thread-pool / Python read-ahead as :meth:`frames`."""
+        stop = self.frame_count if stop is None else \
+            min(stop, self.frame_count)
+        if start >= stop:
+            return
+        it = self._native_frames(start, prefetch) \
+            if native and start < self.frame_count else None
+        if it is not None:
+            for i in range(start, stop):
+                try:
+                    yield i, next(it), None
+                except StopIteration:
+                    return
+                except IOError as e:
+                    yield i, None, str(e)
+            it.close()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
+        stop_evt = threading.Event()
+
+        def worker():
+            try:
+                for i in range(start, stop):
+                    if stop_evt.is_set():
+                        return
+                    try:
+                        q.put((i, self.frame(i), None))
+                    except (IOError, OSError, ValueError) as e:
+                        q.put((i, None, str(e)))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop_evt.set()
+
     def _python_frames(self, start: int, prefetch: int
                        ) -> Iterator[np.ndarray]:
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
@@ -285,6 +337,20 @@ class FaultInjector:
         # in order; ``native`` accepted for interface parity, ignored.
         for i in range(start, self.ds.frame_count):
             yield self.frame(i)
+
+    def indexed_frames(self, start: int = 0, stop: Optional[int] = None,
+                       prefetch: int = 4, native: bool = False):
+        """Indexed iteration with injected faults surfaced in-band:
+        ``(i, None, errmsg)`` for a dropped frame. Sequential, so the
+        injected-fault RNG sequence matches per-index :meth:`frame`
+        calls exactly."""
+        stop = self.ds.frame_count if stop is None else \
+            min(stop, self.ds.frame_count)
+        for i in range(start, stop):
+            try:
+                yield i, self.frame(i), None
+            except (IOError, OSError, ValueError) as e:
+                yield i, None, str(e)
 
 
 def write_replay_dataset(root: str, gray_images: np.ndarray,

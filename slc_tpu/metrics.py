@@ -52,6 +52,9 @@ class MetricsLog:
     """
 
     records: List[dict] = dataclasses.field(default_factory=list)
+    #: Run-level (non-per-frame) summary records, e.g. the async
+    #: writer's totals; written after the frame records in save().
+    summaries: List[dict] = dataclasses.field(default_factory=list)
     _t_last: Optional[float] = None
     _pending_stages: Dict[str, dict] = dataclasses.field(
         default_factory=dict)
@@ -87,6 +90,8 @@ class MetricsLog:
     def save(self, path: str) -> None:
         with open(path, "w") as f:
             for rec in self.records:
+                f.write(json.dumps(rec) + "\n")
+            for rec in self.summaries:
                 f.write(json.dumps(rec) + "\n")
 
 

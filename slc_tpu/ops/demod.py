@@ -1,0 +1,175 @@
+"""Single-frame stripe-phase demodulation (phase-locked tracking).
+
+Every dynamic frame is lit by the sinusoidal stripe pattern
+I(u, v) = A cos(2*pi*P(u, v)/T) + A  (slc_tpu.patterns.stripe_at; the
+cFrame image the reference tracks extrema of, CCalculation.cpp:789-795).
+The wrapped phase of that carrier is an *absolute-mod-T* measurement of
+the projector map present in every single frame — a signal the
+reference throws away: its dynamic loop integrates stripe motion open
+loop, P[f] = P[f-1] + deltaP (CCalculation.cpp:652-660), so error
+accumulates O(frames).
+
+This module recovers that signal by synchronous (lock-in) demodulation
+against the *predicted* carrier: with phi_pred = 2*pi*P_pred/T and
+I_ac = I - <I> (local mean removed),
+
+    C = < I_ac * cos(phi_pred) >  ~=  (A/2) cos(delta)
+    S = < I_ac * sin(phi_pred) >  ~=  (A/2) sin(-delta)
+
+where delta = phi_true - phi_pred and <.> is a small box low-pass that
+rejects the 2*phi image term. Then delta = atan2(-S, C) and
+
+    P = P_pred + delta * T / (2*pi)
+
+snaps the integrated map to phase congruence each frame. The tracker
+only has to predict P to within T/2; absolute accuracy comes from the
+per-frame measurement, converting O(f) drift into O(1) phase noise.
+The reference has no equivalent (it cannot: this requires knowing the
+analytic pattern model, which it treats as opaque captured images).
+
+The low-pass is a separable TRIANGLE kernel (box convolved with box).
+This is a closed-loop stability requirement, not a taste choice: each
+frame updates the prediction-error field e by e' = (I - K) e where K is
+the low-pass. A plain box kernel's frequency response (sinc) goes
+negative (to ~-0.217), so (I - box) has spectral radius ~1.22 and modes
+near the box's negative sidelobe grow 22% per frame — measured as
+divergence over the 100-frame sequence. The triangle's response is
+sinc^2 in [0, 1], so (I - K) is a contraction on low frequencies and
+never amplifies: low-frequency error (drift) is killed, high-frequency
+error is left to the (bounded, blurred) delta-P estimator.
+
+All ops are elementwise + separable box sums — XLA fuses them into the
+step; no gathers, no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _box_sum_1d(x: jax.Array, win: int, axis: int) -> jax.Array:
+    """Centered ``win``-tap box sum along ``axis``, zero-padded."""
+    r = win // 2
+    rr = win - 1 - r
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, rr)
+    xp = jnp.pad(x, pad)
+    s = jnp.cumsum(xp, axis=axis)
+    zshape = list(x.shape)
+    zshape[axis] = 1
+    s = jnp.concatenate([jnp.zeros(zshape, x.dtype), s], axis=axis)
+    lo = jax.lax.slice_in_dim(s, 0, x.shape[axis], axis=axis)
+    hi = jax.lax.slice_in_dim(s, win, win + x.shape[axis], axis=axis)
+    return hi - lo
+
+
+def _tri_sum(x: jax.Array, win_v: int, win_u: int) -> jax.Array:
+    """Separable triangle-kernel sum: box(win) applied twice per axis.
+    Full support 2*win - 1; frequency response sinc^2 >= 0 (see module
+    docstring for why non-negativity is load-bearing)."""
+    x = _box_sum_1d(_box_sum_1d(x, win_u, 1), win_u, 1)
+    return _box_sum_1d(_box_sum_1d(x, win_v, 0), win_v, 0)
+
+
+def _tri_weight(h: int, w: int, win_v: int, win_u: int) -> jax.Array:
+    """Per-pixel total in-image kernel weight of the zero-padded
+    triangle window (exact border normalization)."""
+    ones_r = jnp.ones((1, w), jnp.float32)
+    ones_c = jnp.ones((h, 1), jnp.float32)
+    wu = _box_sum_1d(_box_sum_1d(ones_r, win_u, 1), win_u, 1)
+    wv = _box_sum_1d(_box_sum_1d(ones_c, win_v, 0), win_v, 0)
+    return wv * wu
+
+
+@functools.partial(jax.jit, static_argnames=("period", "win_u", "win_v",
+                                             "amp_floor", "per_pixel"))
+def stripe_phase_correction(frame: jax.Array, proj_u_pred: jax.Array,
+                            period: float, win_u: int = 9,
+                            win_v: int = 9, amp_floor: float = 8.0,
+                            per_pixel: bool = True
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Lock-in demodulation of one dynamic stripe frame against the
+    predicted projector map.
+
+    Args:
+      frame: (H, W) uint8/float camera image of the stripe pattern.
+      proj_u_pred: (H, W) float32 predicted absolute projector map
+        (the tracker's integrated P; must be within T/2 of truth for
+        the correction to snap to the right fringe order).
+      period: stripe period T in projector px (the pattern model's
+        ``stripe_period``).
+      win_u / win_v: low-pass extents in camera px — each axis uses a
+        triangle kernel of full support ``2*win - 1``. ``win_u``
+        should span >= ~1 carrier period in *camera* pixels
+        (~T / (dP/du)); see :func:`suggest_lock_window`.
+      amp_floor: demodulated-amplitude gate in gray levels. The ideal
+        full-contrast carrier demodulates to A/2 = 63.5; pixels below
+        the floor (shadow, defocus, window straddling a depth edge)
+        get zero correction.
+      per_pixel: additionally refine each pixel with its own absolute
+        phase reading: cos(phi) = (I - DC)/A with DC and A taken from
+        the smooth windowed estimates, phi = +-arccos resolved (sign
+        AND fringe order) against the window-corrected prediction,
+        blended by a sin^2(phi) confidence (arccos is ill-conditioned
+        at the fringe extrema). This makes P a per-frame *measurement*
+        at every well-conditioned pixel — error does not integrate at
+        any spatial frequency, where the windowed term alone only
+        suppresses frequencies inside the low-pass band.
+
+    Returns:
+      (delta_p, amplitude): the additive projector-column correction
+      (zero where gated) and the demodulated carrier amplitude (~A/2).
+    """
+    h, w = frame.shape
+    two_pi = 2.0 * math.pi
+    f = frame.astype(jnp.float32)
+    wgt = _tri_weight(h, w, win_v, win_u)
+    dc = _tri_sum(f, win_v, win_u) / wgt
+    iac = f - dc
+    phi = (two_pi / period) * proj_u_pred.astype(jnp.float32)
+    c = _tri_sum(iac * jnp.cos(phi), win_v, win_u)
+    s = _tri_sum(iac * jnp.sin(phi), win_v, win_u)
+    amp = jnp.sqrt(c * c + s * s) / wgt
+    delta_phi = jnp.arctan2(-s, c)
+    delta_p = delta_phi * jnp.float32(period / two_pi)
+    if per_pixel:
+        # Per-pixel absolute reading, referenced to the windowed fix.
+        cos_phi = jnp.clip(iac / jnp.maximum(2.0 * amp, 1e-6),
+                           -1.0, 1.0)
+        phi_mag = jnp.arccos(cos_phi)                  # [0, pi]
+        phi_ref = phi + delta_phi                      # window-corrected
+        # wrap(x) to (-pi, pi] without trig round trips.
+        def wrap(x):
+            return x - two_pi * jnp.round(x / two_pi)
+        d_pos = wrap(phi_mag - phi_ref)
+        d_neg = wrap(-phi_mag - phi_ref)
+        d_px = jnp.where(jnp.abs(d_pos) <= jnp.abs(d_neg), d_pos, d_neg)
+        conf = 1.0 - cos_phi * cos_phi                 # sin^2(phi)
+        delta_p = (delta_phi + conf * d_px) * jnp.float32(period / two_pi)
+    ok = (amp > amp_floor) & (proj_u_pred > 0)
+    return jnp.where(ok, delta_p, 0.0), amp
+
+
+def suggest_lock_window(proj_u0: np.ndarray, period: float,
+                        periods_per_window: float = 1.0,
+                        max_window: int = 64) -> int:
+    """Pick the lock-in triangle half-width (camera px) from the
+    frame-0 absolute map: the median local carrier period
+    T / median(dP/du), times ``periods_per_window``. The default 1.0
+    places the triangle's sinc^2 NULL exactly at the carrier frequency
+    (box width == one carrier period), which is the optimal 1x/2x
+    leakage rejection per unit of support. Host-side, run once before
+    the jitted loop."""
+    pu = np.asarray(proj_u0, np.float64)
+    g = 0.5 * (np.roll(pu, -1, axis=1) - np.roll(pu, 1, axis=1))
+    g = g[1:-1, 1:-1]
+    valid = (pu[1:-1, 1:-1] > 0) & (np.abs(g) > 1e-3)
+    med = float(np.median(np.abs(g[valid]))) if valid.any() else 1.0
+    win = int(round(periods_per_window * period / max(med, 1e-3)))
+    return int(np.clip(win | 1, 3, max_window))   # odd, bounded

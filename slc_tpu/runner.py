@@ -52,7 +52,11 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                mode: str = "gray",
                use_anchors: bool = True,
                save_depth: bool = False,
-               preview: bool = False) -> RunReport:
+               preview: bool = False,
+               phase_lock: "str | float | None" = "auto",
+               lock_window: Optional[int] = None,
+               out_format: str = "xyz",
+               stream: bool = True) -> RunReport:
     """Run the full reference pipeline over a replay dataset.
 
     ``mode`` selects the frame-0 absolute decode: "gray" (the
@@ -60,6 +64,24 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
     reads the vFringeCam stack), or "spatial" (config 3: single
     frequency + quality-guided spatial unwrap of the vPhaseCam stack).
     The dynamic tracking loop is identical in every mode.
+
+    ``phase_lock``: "auto" (default) snaps the integrated P to the
+    wrapped stripe-carrier phase of every dynamic frame
+    (slc_tpu.ops.demod) when the dataset manifest records its
+    ``stripe_period``; a float forces that period; None disables.
+    ``lock_window`` overrides the demod window (default: suggested
+    from the frame-0 absolute map).
+
+    ``stream`` (default): dynamic frames arrive through the prefetch
+    iterator (native C++ thread pool when available) and point clouds
+    leave through a background writer thread, so per-frame wall time is
+    the tracking step alone — read and write legs are hidden (the
+    reference's loop blocks on both, CCalculation.cpp:221-316; so did
+    this runner before round 4). ``stream=False`` keeps the strict
+    read->step->write loop. Fault records, re-anchoring, and
+    checkpoint/resume behave identically in both paths (regression-
+    tested). ``out_format``: "xyz" reference-format ASCII or "npz"
+    float32 maps.
 
     If the dataset contains anchor groups (``aFrame{f}/``, written by
     ``write_anchor_group``) and ``use_anchors`` is set, the tracker is
@@ -124,12 +146,15 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
     with stage("slc/first_frame", log, bytes_moved=first_bytes):
         first = do_decode()
         jax.block_until_ready(first.z)
+    ext = "npz" if out_format == "npz" else "txt"
+    _write_frame = (cloud.write_cloud_npz if out_format == "npz"
+                    else cloud.write_xyz)
     n_pts = 0
     if write_clouds:
         with stage("slc/write", log):
-            n_pts = cloud.write_xyz(os.path.join(out_dir, "iFrame.txt"),
-                                    np.asarray(first.x), np.asarray(first.y),
-                                    np.asarray(first.z))
+            n_pts = _write_frame(os.path.join(out_dir, f"iFrame.{ext}"),
+                                 np.asarray(first.x), np.asarray(first.y),
+                                 np.asarray(first.z))
     if save_depth:
         # Machine-readable depth for downstream multi-scan fusion
         # (``python -m slc_tpu fuse``): the ASCII clouds drop pixel
@@ -140,6 +165,28 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
     if preview:
         _write_preview(out_dir, "preview_iFrame", first.z, calib)
     log.log_frame(0, frame_stats(first.z))
+
+    # Phase-locked tracking (VERDICT r3 item 1): resolve the stripe
+    # period from the manifest and the demod window from the frame-0
+    # absolute map.
+    lock_period = None
+    if phase_lock == "auto":
+        sp = (ds.manifest or {}).get("stripe_period")
+        lock_period = float(sp) if sp else None
+    elif phase_lock is not None:
+        lock_period = float(phase_lock)
+    lock_win = 9
+    if lock_period is not None and lock_window is None:
+        from slc_tpu.ops.demod import suggest_lock_window
+        lock_win = suggest_lock_window(np.asarray(first.proj_u),
+                                       lock_period)
+    elif lock_window is not None:
+        lock_win = int(lock_window)
+
+    def step(st, frame_dev):
+        return dynamic_step(st, frame_dev, tables, cfg, scale_gradient,
+                            subpixel, robust, phase_lock=lock_period,
+                            lock_win_u=lock_win)
 
     # --- dynamic loop (CalculateOther) -------------------------------
     ckpt_dir = os.path.join(out_dir, "ckpt")
@@ -184,59 +231,88 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
             warm_frame = jnp.asarray(base_ds.frame(start_frame))
             warm_state = jax.tree.map(
                 lambda a: a + 0 if hasattr(a, "dtype") else a, state)
-            ws, _ = dynamic_step(warm_state, warm_frame, tables, cfg,
-                                 scale_gradient, subpixel, robust)
+            ws, _ = step(warm_state, warm_frame)
             jax.block_until_ready(ws.z)
         except (IOError, OSError, ValueError):
             pass
+
+    # Frame source: prefetched indexed iteration (native C++ thread
+    # pool when available) in stream mode, strict synchronous reads
+    # otherwise. Both yield (index, frame-or-None, error-or-None) with
+    # identical per-index fault semantics.
+    if stream:
+        frame_source = ds.indexed_frames(start=start_frame, stop=total,
+                                         prefetch=8)
+    else:
+        def _strict_source():
+            for i in range(start_frame, total):
+                try:
+                    yield i, ds.frame(i), None
+                except (IOError, OSError, ValueError) as e:
+                    yield i, None, str(e)
+        frame_source = _strict_source()
+
+    writer = None
+    if write_clouds and stream:
+        writer = cloud.AsyncCloudWriter(fmt=out_format)
+
+    def emit(f, res):
+        path = os.path.join(out_dir, f"cFrame{f}.{ext}")
+        if writer is not None:
+            writer.submit(path, res.x, res.y, res.z)
+        elif write_clouds:
+            with stage("slc/write", log):
+                _write_frame(path, np.asarray(res.x), np.asarray(res.y),
+                             np.asarray(res.z))
+
     done = start_frame - 1
-    for f in range(start_frame, total):
-        try:
-            frame = ds.frame(f)
-        except (IOError, OSError, ValueError) as e:
-            # ValueError = read_bmp decode failure on a corrupt on-disk
-            # frame — same fault class as an unreadable file.
-            # Failure recovery (absent in the reference, which proceeds
-            # with empty images — CSensorV.cpp:122-129): skip the frame,
-            # carry the tracker state, record the fault.
-            log.log_frame(f, frame_stats(state.z), fault=str(e))
-            continue
-        if f in anchor_set:
-            # Periodic absolute re-anchoring (SURVEY.md §5): this
-            # frame's output is a fresh absolute decode; the tracker
-            # state is rebuilt from it and the current fringe frame.
-            with stage("slc/reanchor", log):
-                res = _decode_anchor(ds, f, tables, cfg, mode,
-                                     prev_proj_u=state.proj_u)
-                state = reanchor(state, jnp.asarray(frame), res.proj_u,
-                                 res.z, cfg, subpixel)
-                state = dataclasses.replace(state,
-                                            frame_idx=jnp.int32(f))
-            if write_clouds:
-                cloud.write_xyz(os.path.join(out_dir, f"cFrame{f}.txt"),
-                                np.asarray(res.x), np.asarray(res.y),
-                                np.asarray(res.z))
-            log.log_frame(f, frame_stats(res.z), reanchor=True)
+    try:
+        for f, frame, err in frame_source:
+            if frame is None:
+                # ValueError = read_bmp decode failure on a corrupt
+                # on-disk frame — same fault class as an unreadable
+                # file. Failure recovery (absent in the reference,
+                # which proceeds with empty images — CSensorV.cpp:
+                # 122-129): skip the frame, carry the tracker state,
+                # record the fault.
+                log.log_frame(f, frame_stats(state.z), fault=err)
+                continue
+            if f in anchor_set:
+                # Periodic absolute re-anchoring (SURVEY.md §5): this
+                # frame's output is a fresh absolute decode; the
+                # tracker state is rebuilt from it and the current
+                # fringe frame.
+                with stage("slc/reanchor", log):
+                    res = _decode_anchor(ds, f, tables, cfg, mode,
+                                         prev_proj_u=state.proj_u)
+                    state = reanchor(state, jnp.asarray(frame),
+                                     res.proj_u, res.z, cfg, subpixel)
+                    state = dataclasses.replace(state,
+                                                frame_idx=jnp.int32(f))
+                emit(f, res)
+                log.log_frame(f, frame_stats(res.z), reanchor=True)
+            else:
+                with stage("slc/dynamic_step", log,
+                           bytes_moved=step_bytes):
+                    state, res = step(state, jnp.asarray(frame))
+                    jax.block_until_ready(res.z)
+                emit(f, res)
+                log.log_frame(f, frame_stats(res.z))
             if checkpoint_every and f % checkpoint_every == 0:
                 os.makedirs(ckpt_dir, exist_ok=True)
                 save_state(os.path.join(ckpt_dir, f"frame_{f}"), state)
             done = f
-            continue
-        with stage("slc/dynamic_step", log, bytes_moved=step_bytes):
-            state, res = dynamic_step(state, jnp.asarray(frame), tables,
-                                      cfg, scale_gradient, subpixel,
-                                      robust)
-            jax.block_until_ready(res.z)
-        if write_clouds:
-            with stage("slc/write", log):
-                cloud.write_xyz(os.path.join(out_dir, f"cFrame{f}.txt"),
-                                np.asarray(res.x), np.asarray(res.y),
-                                np.asarray(res.z))
-        log.log_frame(f, frame_stats(res.z))
-        if checkpoint_every and f % checkpoint_every == 0:
-            os.makedirs(ckpt_dir, exist_ok=True)
-            save_state(os.path.join(ckpt_dir, f"frame_{f}"), state)
-        done = f
+    finally:
+        if writer is not None:
+            import sys
+            try:
+                summary = writer.close()
+                log.summaries.append({"writer": True, **summary})
+            except IOError:
+                # Don't mask an in-flight loop exception with the
+                # writer's failure report.
+                if sys.exc_info()[0] is None:
+                    raise
 
     if preview and done >= start_frame:
         _write_preview(out_dir, f"preview_cFrame{done}", state.z, calib)

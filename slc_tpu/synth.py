@@ -180,15 +180,29 @@ def render_depth_from_pose(calib: Calibration, cam_h: int, cam_w: int,
     return np.where(np.isfinite(t), t, 0.0)
 
 
+def step_surface(z_left: float, z_right: float,
+                 dx_edge: float = 0.0) -> Surface:
+    """Two fronto-parallel planes split by a vertical depth step at
+    camera-ray direction ``dx_edge`` — the discontinuous scene used to
+    validate phase-locked tracking across fringe-order jumps."""
+    def f(dx, dy):
+        return np.where(dx < dx_edge, z_left, z_right)
+    return f
+
+
 def render_dynamic_sequence(calib: Calibration, cfg: SystemConfig,
                             num_frames: int,
                             z0: float = 50.0, dz_per_frame: float = 0.08,
                             stripe_period: int = 40,
-                            noise_sigma: float = 0.0, seed: int = 0
+                            noise_sigma: float = 0.0, seed: int = 0,
+                            surface_for_frame: Optional[
+                                Callable[[int], Surface]] = None
                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Render a moving-plane sequence lit by the single stripe pattern —
     the cFrame scenario (CSensorV.cpp:88-92): one image per frame of a
-    plane translating along +z.
+    plane translating along +z. ``surface_for_frame`` overrides the
+    default plane with an arbitrary per-frame surface (e.g. a moving
+    :func:`step_surface` for discontinuity tests).
 
     Returns (frames (F, H, W) uint8, z_gt (F, H, W), proj_u (F, H, W)).
     """
@@ -197,8 +211,9 @@ def render_dynamic_sequence(calib: Calibration, cfg: SystemConfig,
     z_gt = np.empty((num_frames, cfg.cam_h, cfg.cam_w))
     pu_gt = np.empty_like(z_gt)
     for f in range(num_frames):
-        z, pu = surface_geometry(calib, cfg,
-                                 plane_surface(z0 + dz_per_frame * f))
+        surf = (plane_surface(z0 + dz_per_frame * f)
+                if surface_for_frame is None else surface_for_frame(f))
+        z, pu = surface_geometry(calib, cfg, surf)
         frames[f] = _quantize(patterns.stripe_at(pu, stripe_period),
                               noise_sigma, rng)
         z_gt[f], pu_gt[f] = z, pu

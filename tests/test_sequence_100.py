@@ -100,6 +100,34 @@ def test_100_frame_drift_reference_vs_improved():
     assert drift_ref < 6.0, drift_ref
 
 
+def test_100_frame_phase_locked_tracking():
+    """Phase-locked tracking (slc_tpu/ops/demod.py) over the full
+    100-frame sequence with NO re-anchor groups: snapping the
+    integrated P to the wrapped carrier phase embedded in every dynamic
+    frame must hold terminal drift at the per-frame noise level —
+    O(1) instead of the open-loop O(frames) integration the reference
+    performs (CCalculation.cpp:652-660)."""
+    _, tables, frames, z_gt, pu_gt = _sequence()
+
+    state = init_tracker(jnp.asarray(frames[0]),
+                         jnp.asarray(pu_gt[0], jnp.float32),
+                         jnp.asarray(z_gt[0], jnp.float32),
+                         CFG, use_pallas=False)
+    state, res = run_sequence(state, jnp.asarray(frames[1:]), tables,
+                              CFG, phase_lock=12.0, lock_win_u=21,
+                              lock_win_v=9)
+    drift_locked = _drift(np.asarray(res.z[-1]), z_gt[-1])
+    drift_free, _ = _run(tables, frames, z_gt, pu_gt,
+                         scale_gradient=True, subpixel=True)
+    # VERDICT r3 item 1's bar: < 0.1 scene units after 100 frames.
+    assert drift_locked < 0.1, drift_locked
+    assert drift_locked < 0.1 * drift_free, (drift_locked, drift_free)
+    # Terminal ~= early drift: error is not integrating.
+    drift_locked_8 = _drift(np.asarray(res.z[7]), z_gt[8])
+    assert drift_locked < 5.0 * max(drift_locked_8, 0.005), \
+        (drift_locked, drift_locked_8)
+
+
 def test_100_frame_reanchoring_bounds_drift():
     """Periodic absolute re-anchoring (every 25 frames) must bound the
     terminal drift well below the free-running improved tracker on the
