@@ -301,7 +301,7 @@ def bench_config4():
                                chunk=K)
         if best is None or stc.fps > best.fps:
             best = stc
-    chunk_ms = [k * K * 1e3 for k in best.latencies_s[::K]]
+    chunk_ms = [s * 1e3 for s in best.chunk_latencies_s]
     emit("c4_stream_fps_2mp_chunked", round(best.fps, 2), "fps",
          round(best.fps / 60.0, 3), chunk=K,
          p50_chunk_latency_ms=round(float(np.median(chunk_ms)), 3))
@@ -329,9 +329,15 @@ def bench_config4():
 
     # (d) transfer/compute overlap, measured: pipelined vs strict
     # sequential, with pure-compute and pure-transfer legs. Efficiency
-    # 1.0 = the cheaper leg fully hidden under the other.
+    # 1.0 = the cheaper leg fully hidden under the other. Through the
+    # tunnel the per-frame H2D is ~40x the device step, so at R=1 the
+    # quotient is pure noise (VERDICT r3 item 3); compute_repeats=
+    # "auto" scales the compute leg into the transfer leg's range so
+    # the measurement has a denominator. The raw host-feed case is
+    # reported alongside as link-bound (unmeasurable efficiency).
     from slc_tpu.streaming import measure_overlap
-    ov = measure_overlap(fresh_state(), host_frames, tables, cfg)
+    ov = measure_overlap(fresh_state(), host_frames, tables, cfg,
+                         compute_repeats="auto")
     emit("c4_overlap_efficiency", ov["overlap_efficiency"], "fraction",
          None, **{k: v for k, v in ov.items()
                   if k != "overlap_efficiency"})

@@ -62,6 +62,14 @@ def bilateral_filter(img: jax.Array, radius: int = 1,
             "the fused Pallas bilateral kernel only implements "
             "hole-aware weighting; use hole_aware=True or "
             "use_pallas=False")
+    if use_pallas and jax.default_backend() not in ("tpu", "axon"):
+        raise ValueError(
+            f"use_pallas=True requires a TPU backend (Mosaic kernels); "
+            f"current backend is {jax.default_backend()!r} — drop the "
+            f"flag (auto-selects) or use use_pallas=False. Note the "
+            f"backends also differ at image borders: the fused kernel "
+            f"treats out-of-image neighbors as missing, the XLA path "
+            f"wraps.")
     if use_pallas is None:
         use_pallas = (hole_aware
                       and jax.default_backend() in ("tpu", "axon"))

@@ -99,7 +99,24 @@ def tiled_unwrap_spatial(psi: jax.Array, period: float, mesh,
     happens. With ``return_info=True`` also returns the same
     diagnostics dict (cg_iters / rel_residual replicated scalars;
     residue and suspect counts psum-reduced across tiles; ``suspect``
-    mask tile-sharded)."""
+    mask tile-sharded).
+
+    Tile dims should be EVEN at the finest level: odd tiles make
+    shard_levels empty, so the entire V-cycle runs replicated
+    (all_gathering the full-resolution residual every CG iteration) —
+    correct but silently defeating the sharding, hence the warning
+    below (ADVICE r3)."""
+    if mg:
+        th0 = psi.shape[0] // mesh.shape[TILE_Y]
+        tw0 = psi.shape[1] // mesh.shape[TILE_X]
+        if th0 % 2 or tw0 % 2:
+            import warnings
+            warnings.warn(
+                f"tiled_unwrap_spatial: tile dims ({th0}x{tw0}) are "
+                f"odd at the finest level; the multigrid hierarchy "
+                f"cannot shard and every V-cycle will all_gather the "
+                f"full-resolution residual. Use even tile dims for a "
+                f"sharded hierarchy.", stacklevel=2)
     if quality is None:
         quality = jnp.ones_like(psi, dtype=jnp.float32)
     if anchor is None:

@@ -1,6 +1,7 @@
 """Streaming loop: pipelined results must equal the synchronous loop."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from slc_tpu import synth
@@ -184,3 +185,62 @@ def test_streaming_robust_flag_passthrough():
         got2.extend(np.asarray(z_stack))
     for a, b in zip(got2, ref_f):
         np.testing.assert_array_equal(a, b)
+
+
+def test_run_streaming_chunk_rejects_per_frame_args():
+    """chunk > 1 must reject per-frame `fetch`/`sync_every` instead of
+    silently dropping them (ADVICE r3)."""
+    calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
+                                  pro_h=CFG.pro_h, pro_w=CFG.pro_w)
+    tables = build_tables(calib, CFG.cam_h, CFG.cam_w)
+    frames, zs, pus = synth.render_dynamic_sequence(
+        calib, CFG, 4, z0=50.0, dz_per_frame=0.4, stripe_period=12)
+    state = init_tracker(jnp.asarray(frames[0]),
+                         jnp.asarray(pus[0], jnp.float32),
+                         jnp.asarray(zs[0], jnp.float32), CFG)
+    with pytest.raises(ValueError, match="chunk"):
+        run_streaming(state, frames[1:], tables, CFG, chunk=2,
+                      fetch=lambda r: r)
+
+
+def test_run_streaming_ragged_chunk_latencies():
+    """Per-chunk latencies are recorded directly; a ragged final chunk
+    (7 frames, chunk=3 -> sizes 3, 3, 1) must be represented exactly
+    (ADVICE r3: the [::K] stride reconstruction mis-binned it)."""
+    calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
+                                  pro_h=CFG.pro_h, pro_w=CFG.pro_w)
+    tables = build_tables(calib, CFG.cam_h, CFG.cam_w)
+    frames, zs, pus = synth.render_dynamic_sequence(
+        calib, CFG, 8, z0=50.0, dz_per_frame=0.4, stripe_period=12)
+    state = init_tracker(jnp.asarray(frames[0]),
+                         jnp.asarray(pus[0], jnp.float32),
+                         jnp.asarray(zs[0], jnp.float32), CFG)
+    _, stats = run_streaming(state, frames[1:], tables, CFG, chunk=3)
+    assert stats.chunk_sizes == [3, 3, 1]
+    assert len(stats.chunk_latencies_s) == 3
+    assert len(stats.latencies_s) == 7
+    for dt, k in zip(stats.chunk_latencies_s, stats.chunk_sizes):
+        assert dt > 0 and k >= 1
+
+
+def test_measure_overlap_compute_repeats():
+    """compute_repeats scales the compute leg (one dispatch per frame)
+    and records the measurement regime."""
+    from slc_tpu.streaming import measure_overlap
+    calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
+                                  pro_h=CFG.pro_h, pro_w=CFG.pro_w)
+    tables = build_tables(calib, CFG.cam_h, CFG.cam_w)
+    frames, zs, pus = synth.render_dynamic_sequence(
+        calib, CFG, 5, z0=50.0, dz_per_frame=0.4, stripe_period=12)
+    state = init_tracker(jnp.asarray(frames[0]),
+                         jnp.asarray(pus[0], jnp.float32),
+                         jnp.asarray(zs[0], jnp.float32), CFG)
+    ov = measure_overlap(state, frames[1:], tables, CFG,
+                         compute_repeats=3)
+    assert ov["compute_repeats"] == 3
+    assert ov["regime"] in ("balanced", "transfer_bound",
+                            "compute_bound")
+    assert 0.0 < ov["leg_ratio"] <= 1.0
+    ov_auto = measure_overlap(state, frames[1:], tables, CFG,
+                              compute_repeats="auto")
+    assert ov_auto["compute_repeats"] >= 1
