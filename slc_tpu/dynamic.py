@@ -88,14 +88,15 @@ def _stripe(frame: jax.Array, window: int, subpixel: bool,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "scale_gradient", "subpixel",
                                     "robust", "use_pallas", "phase_lock",
-                                    "lock_win_u", "lock_win_v"),
+                                    "lock_win_u", "lock_win_v",
+                                    "frac_bits"),
                    donate_argnames=("state",))
 def dynamic_step(state: TrackerState, frame: jax.Array,
                  tables: TriangulationTables, cfg: SystemConfig,
                  scale_gradient: bool = True, subpixel: bool = True,
                  robust: bool = True, use_pallas: bool = None,
                  phase_lock: float = None, lock_win_u: int = 9,
-                 lock_win_v: int = 9
+                 lock_win_v: int = 9, frac_bits: int = 0
                  ) -> Tuple[TrackerState, FrameResult]:
     """One dynamic frame (the body of CCalculation::CalculateOther,
     CCalculation.cpp:221-316):
@@ -121,6 +122,12 @@ def dynamic_step(state: TrackerState, frame: jax.Array,
     that integrates into drift over the 100-frame sequence
     (tests/test_sequence_100.py). Set False for exact reference
     semantics.
+
+    ``frac_bits`` > 0 (TPU fused path only): fast sub-pixel mode —
+    the stripe parabola fraction rides the packed extremum tournament
+    quantized to ``frac_bits`` bits (identical winner, ~1/2^frac_bits
+    px quantization, ~20% faster step; mathx.sliding_extrema). The XLA
+    path ignores it (always exact).
 
     ``phase_lock`` (framework improvement the reference fundamentally
     lacks, VERDICT r3 item 1): the stripe period T of the projected
@@ -152,7 +159,8 @@ def dynamic_step(state: TrackerState, frame: jax.Array,
             frame, state.strip_w, state.strip_b, state.proj_u,
             tables.c, tables.d, scalars, window=cfg.reco_window,
             subpixel=subpixel, scale_gradient=scale_gradient,
-            robust=robust, fov_min=cfg.fov_min, fov_max=cfg.fov_max)
+            robust=robust, fov_min=cfg.fov_min, fov_max=cfg.fov_max,
+            frac_bits=frac_bits)
         if phase_lock is not None:
             from slc_tpu.ops.demod import stripe_phase_correction
             dpl, _ = stripe_phase_correction(frame, pu, phase_lock,

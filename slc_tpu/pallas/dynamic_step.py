@@ -39,9 +39,10 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
             c_ref, d_ref,
             pu_out, sw_out, sb_out, z_out, x_out, y_out,
             f_scr, pw_scr, pb_scr, pu_scr, sem, *,
-            window: int, subpixel: bool, scale_gradient: bool,
-            robust: bool, block_h: int, img_h: int, img_w: int,
-            pad_w: int, f_rows: int, s_rows: int):
+            window: int, subpixel: bool, frac_bits: int,
+            scale_gradient: bool, robust: bool, block_h: int,
+            img_h: int, img_w: int, pad_w: int, f_rows: int,
+            s_rows: int):
     r = window // 2
     i = pl.program_id(0)
     bh = block_h
@@ -62,7 +63,9 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
     for c in copies:
         c.wait()
 
-    f = f_scr[:].astype(jnp.int32).astype(jnp.float32)
+    # Box sums + tournament in int32 (exact for u8 sums); f32 only in
+    # the sub-pixel ratio and everything downstream of the extrema.
+    f = f_scr[:].astype(jnp.int32)
 
     # --- stripe tracking on rows [i*bh - 1, i*bh + bh + 1) -----------
     # The DMA'd halo is PAD=8 rows (alignment), but the compute only
@@ -79,10 +82,11 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
     cols = jax.lax.broadcasted_iota(jnp.int32, (n_strip, pad_w), 1)
     interior = ((rows >= r) & (rows < img_h - r)
                 & (cols >= r) & (cols < img_w - r))
-    vs = jnp.where(interior, vs, 0.0)
+    vs = jnp.where(interior, vs, 0)
     sw, sb = sliding_extrema(
         vs, window, pad_w,
-        lambda a, k: pltpu.roll(a, (-k) % pad_w, axis=1), subpixel)
+        lambda a, k: pltpu.roll(a, (-k) % pad_w, axis=1), subpixel,
+        frac_bits, recip=lambda x: pl.reciprocal(x, approx=True))
     sw = jnp.where(interior, sw, 0.0)
     sb = jnp.where(interior, sb, 0.0)
 
@@ -147,14 +151,15 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
 @functools.partial(jax.jit,
                    static_argnames=("window", "subpixel", "scale_gradient",
                                     "robust", "fov_min", "fov_max",
-                                    "block_h", "interpret"))
+                                    "block_h", "frac_bits", "interpret"))
 def dynamic_step_pallas(frame: jax.Array, prev_sw: jax.Array,
                         prev_sb: jax.Array, prev_pu: jax.Array,
                         c: jax.Array, d: jax.Array, scalars: jax.Array,
                         window: int = 21, subpixel: bool = True,
                         scale_gradient: bool = True, robust: bool = True,
                         fov_min: float = 10.0, fov_max: float = 100.0,
-                        block_h: int = 64, interpret: bool = False
+                        block_h: int = 64, frac_bits: int = 0,
+                        interpret: bool = False
                         ) -> Tuple[jax.Array, ...]:
     """Fused dynamic step. ``scalars`` is a (1, 8) f32 array
     [A, B, fx, fy, cx, cy, fov_min, fov_max] (SMEM-prefetched).
@@ -180,7 +185,7 @@ def dynamic_step_pallas(frame: jax.Array, prev_sw: jax.Array,
     pu_pad = pad_state(prev_pu)
 
     kernel = functools.partial(
-        _kernel, window=window, subpixel=subpixel,
+        _kernel, window=window, subpixel=subpixel, frac_bits=frac_bits,
         scale_gradient=scale_gradient, robust=robust, block_h=block_h,
         img_h=h, img_w=w, pad_w=pad_w, f_rows=f_rows, s_rows=s_rows)
 

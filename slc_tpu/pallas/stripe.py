@@ -27,20 +27,37 @@ from slc_tpu.pallas.mathx import sliding_extrema, sliding_row_sum
 
 
 def _stripe_kernel(frame_hbm, sw_ref, sb_ref, scratch, sem, *,
-                   window: int, subpixel: bool, block_h: int,
-                   img_h: int, img_w: int, pad_w: int, ext_rows: int):
+                   window: int, subpixel: bool, frac_bits: int,
+                   block_h: int, img_h: int, img_w: int, pad_w: int,
+                   ext_rows: int):
     r = window // 2
     i = pl.program_id(0)
+    n = pl.num_programs(0)
 
+    # Double-buffered input DMA: scratch slot i%2 holds block i (the
+    # DMA was started by the PREVIOUS grid step, so it rode under that
+    # step's compute); this step starts block i+1 into the other slot.
     # DMA slice rows must be tiling-aligned; ext_rows is block_h + 2r
     # rounded up to 32 (the int8 sublane tile), the tail rows unused.
-    dma = pltpu.make_async_copy(
-        frame_hbm.at[pl.ds(i * block_h, ext_rows), :],
-        scratch, sem)
-    dma.start()
-    dma.wait()
-    # Mosaic has no direct uint8 -> f32 cast; hop through int32.
-    f = scratch[:].astype(jnp.int32).astype(jnp.float32)
+    def dma(slot, blk):
+        return pltpu.make_async_copy(
+            frame_hbm.at[pl.ds(blk * block_h, ext_rows), :],
+            scratch.at[slot], sem.at[slot])
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        dma(1 - slot, i + 1).start()
+
+    dma(slot, i).wait()
+    # Box-sum and tournament run in int32 end to end (exact for u8
+    # sums); f32 appears only inside the sub-pixel ratio.
+    f = scratch[slot].astype(jnp.int32)
 
     # Vertical box sum for the block's rows: out row k (global
     # i*block_h + k) sums padded rows k .. k+2r. Hierarchical
@@ -48,13 +65,15 @@ def _stripe_kernel(frame_hbm, sw_ref, sb_ref, scratch, sem, *,
     # sums regardless of association.
     vs = sliding_row_sum(f, 0, block_h, window)
 
-    # Interior mask in global coordinates (CCalculation.cpp:801,817).
+    # Interior mask in global coordinates (CCalculation.cpp:801,817),
+    # built from broadcastable (block_h, 1) / (1, pad_w) index vectors
+    # so the comparisons run on vectors, not full tiles.
     row0 = i * block_h
-    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (block_h, pad_w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block_h, pad_w), 1)
-    interior = ((rows >= r) & (rows < img_h - r)
-                & (cols >= r) & (cols < img_w - r))
-    vs = jnp.where(interior, vs, 0.0)
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (block_h, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, pad_w), 1)
+    interior = (((rows >= r) & (rows < img_h - r))
+                & ((cols >= r) & (cols < img_w - r)))
+    vs = jnp.where(interior, vs, 0)
     out_w = sw_ref.shape[1]
 
     # Horizontal windowed extrema over offsets [-r, r) with the
@@ -66,9 +85,10 @@ def _stripe_kernel(frame_hbm, sw_ref, sb_ref, scratch, sem, *,
         # a[i+k] with the non-negative shift pltpu.roll needs.
         return pltpu.roll(a, (-k) % pad_w, axis=1)
 
-    best_max_idx, best_min_idx = sliding_extrema(vs, window, pad_w,
-                                                 roll, subpixel)
-    zero = jnp.zeros_like(vs)
+    best_max_idx, best_min_idx = sliding_extrema(
+        vs, window, pad_w, roll, subpixel, frac_bits,
+        recip=lambda x: pl.reciprocal(x, approx=True))
+    zero = jnp.zeros(vs.shape, jnp.float32)
     # Write exact-width blocks: cropping AFTER the kernel would make the
     # padded outputs XLA temps, which this backend stack-allocates in
     # VMEM (OOM at 2 MP for full-image f32 pairs).
@@ -78,14 +98,21 @@ def _stripe_kernel(frame_hbm, sw_ref, sb_ref, scratch, sem, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("window", "subpixel", "block_h",
-                                    "interpret"))
+                                    "frac_bits", "interpret"))
 def stripe_regression_pallas(frame: jax.Array, window: int = 21,
                              subpixel: bool = True, block_h: int = 64,
+                             frac_bits: int = 0,
                              interpret: bool = False
                              ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in replacement for slc_tpu.ops.stripe.stripe_regression.
 
     frame: (H, W) uint8/float. Returns (strip_w, strip_b) float32.
+
+    ``frac_bits`` > 0 = fast sub-pixel mode (mathx.sliding_extrema):
+    the parabola fraction rides the packed tournament word quantized to
+    ``frac_bits`` bits instead of as an exact f32 carry — same winner,
+    fraction quantized to ~1/2^frac_bits px, tournament at carry-free
+    cost.
     """
     r = window // 2
     h, w = frame.shape
@@ -98,8 +125,8 @@ def stripe_regression_pallas(frame: jax.Array, window: int = 21,
 
     kernel = functools.partial(
         _stripe_kernel, window=window, subpixel=subpixel,
-        block_h=block_h, img_h=h, img_w=w, pad_w=pad_w,
-        ext_rows=ext_rows)
+        frac_bits=frac_bits, block_h=block_h, img_h=h, img_w=w,
+        pad_w=pad_w, ext_rows=ext_rows)
 
     grid = (hb // block_h,)
     # Exact (h, w) outputs: pallas clips ragged edge blocks, and exact
@@ -114,8 +141,8 @@ def stripe_regression_pallas(frame: jax.Array, window: int = 21,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(out_spec, out_spec),
         scratch_shapes=[
-            pltpu.VMEM((ext_rows, pad_w), frame.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, ext_rows, pad_w), frame.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(f)

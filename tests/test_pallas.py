@@ -234,3 +234,44 @@ def test_sliding_row_sum_matches_naive(rng):
     # Bounds are asserted, not silently wrong.
     with pytest.raises(AssertionError):
         sliding_row_sum(f_int, 50, 10, 21)
+
+
+@pytest.mark.parametrize("window", [5, 21])
+def test_sliding_extrema_fast_frac_mode(rng, window):
+    """frac_bits > 0 (the fast sub-pixel mode, VERDICT r3 item 4) must
+    pick the IDENTICAL winner column as the exact carry — the fraction
+    alone may differ, by at most the documented quantization step."""
+    from slc_tpu.pallas.mathx import sliding_extrema
+    h, w = 24, 256
+    vs = jnp.asarray(rng.integers(0, 6, (h, w)).astype(np.float32)
+                     * (255 * window // 5))
+    roll = lambda a, k: jnp.roll(a, -k, axis=1)
+    em, en = sliding_extrema(vs, window, w, roll, True)
+    fm, fn = sliding_extrema(vs, window, w, roll, True, frac_bits=7)
+    r = window // 2
+    sl = (slice(None), slice(r, w - r))
+    # Winner identity is structural (the frac bits sit BELOW the column
+    # code, so ordering between distinct columns never consults them);
+    # numerically that shows as |fast - exact| <= one quantization step
+    # (1/2^fbits, including the one-quantum asymmetric clamp at -0.5).
+    step = 1.0 / (2 ** 7) + 1e-6
+    for exact, fast in ((em, fm), (en, fn)):
+        e = np.asarray(exact)[sl]
+        f = np.asarray(fast)[sl]
+        np.testing.assert_allclose(f, e, atol=step)
+
+
+def test_sliding_extrema_fast_mode_needs_headroom(rng):
+    """When value+column bits leave < 4 spare bits the fast mode must
+    silently use the exact carry (identical output)."""
+    from slc_tpu.pallas.mathx import sliding_extrema
+    h, w, window = 8, 256, 21
+    vs = jnp.asarray(rng.integers(0, 6, (h, w)).astype(np.float32)
+                     * (255 * window // 5))
+    roll = lambda a, k: jnp.roll(a, -k, axis=1)
+    em, en = sliding_extrema(vs, window, w, roll, True)
+    # pad_w=2**16 -> cbits=16, vbits=13 -> 2 spare bits < 4.
+    fm, fn = sliding_extrema(vs, window, 2 ** 16, roll, True,
+                             frac_bits=7)
+    np.testing.assert_array_equal(np.asarray(em), np.asarray(fm))
+    np.testing.assert_array_equal(np.asarray(en), np.asarray(fn))

@@ -141,3 +141,18 @@ def test_compiled_grayphase_matches_xla(rng):
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(z), np.asarray(ref.z),
                                atol=1e-3)
+
+
+def test_compiled_stripe_fast_frac_matches_exact(rng):
+    """Compiled fast sub-pixel mode (frac_bits=7): identical winner to
+    the exact carry, fraction within one quantization step plus the
+    approx-reciprocal error (mathx.sliding_extrema)."""
+    from slc_tpu.pallas.stripe import stripe_regression_pallas
+
+    frame = rng.integers(0, 256, size=(256, 384), dtype=np.uint8)
+    f = jnp.asarray(frame)
+    ew, eb = stripe_regression_pallas(f, 21, True)
+    fw, fb = stripe_regression_pallas(f, 21, True, frac_bits=7)
+    step = 1.0 / (1 << 7) + 1e-3          # quantum + approx-recip
+    np.testing.assert_allclose(np.asarray(fw), np.asarray(ew), atol=step)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(eb), atol=step)
