@@ -530,10 +530,13 @@ def bench_scaling():
 
 def bench_rooflines():
     """Achieved fraction of HBM peak for each fused Pallas kernel at
-    2 MP. Bytes moved are the analytic kernel footprints (per pixel):
-    stripe 1u8 in + 2f32 out = 9 B; dynamic step 1u8 + 5f32 in +
-    6f32 out = 45 B; heterodyne 12u8 + 2f32 in + 4f32 out = 36 B;
-    grayphase 16u8 + 2f32 in + 4f32 out = 40 B; bilateral 1f32 in +
+    2 MP. Bytes moved are the analytic kernel footprints (per pixel);
+    since round 4 the decode/step kernels regenerate the bilinear C/D
+    triangulation tables in-kernel (mathx.lin_coeffs), removing their
+    8 B/px from the real traffic AND from the denominator here:
+    stripe 1u8 in + 2f32 out = 9 B; dynamic step 1u8 + 3f32 in +
+    6f32 out = 37 B; heterodyne 12u8 in + 4f32 out = 28 B;
+    grayphase 16u8 in + 4f32 out = 32 B; bilateral 1f32 in +
     1f32 out = 8 B.
 
     Timing is ON-DEVICE via the JAX profiler (slc_tpu.devtime): host
@@ -585,7 +588,7 @@ def bench_rooflines():
             frame, sw, sb, pu, tables.c, tables.d, scalars,
             window=cfg.reco_window, fov_min=cfg.fov_min,
             fov_max=cfg.fov_max, frac_bits=7))
-    line("dynamic_step", dt, 45 * px, mode="fast_subpixel_frac7")
+    line("dynamic_step", dt, 37 * px, mode="fast_subpixel_frac7")
     emit("device_fps_dynamic_step_2mp", round(1.0 / dt, 1), "fps",
          round(1.0 / dt / 60.0, 3))
     dt = device_time_s(
@@ -593,7 +596,7 @@ def bench_rooflines():
             frame, sw, sb, pu, tables.c, tables.d, scalars,
             window=cfg.reco_window, fov_min=cfg.fov_min,
             fov_max=cfg.fov_max))
-    line("dynamic_step_exact", dt, 45 * px)
+    line("dynamic_step_exact", dt, 37 * px)
 
     imgs = jnp.asarray(rng.integers(0, 256, (het.num_images, H2MP, W2MP),
                                     np.uint8))
@@ -603,7 +606,7 @@ def bench_rooflines():
             imgs, tables.c, tables.d, scalars, periods=periods,
             extent=float(cfg.pro_w), n_steps=het.phase_steps,
             fov_min=cfg.fov_min, fov_max=cfg.fov_max))
-    line("heterodyne", dt, 36 * px)
+    line("heterodyne", dt, 28 * px)
     emit("device_fps_heterodyne_decode_2mp", round(1.0 / dt, 1), "fps",
          round(1.0 / dt / 60.0, 3))
 
@@ -623,7 +626,7 @@ def bench_rooflines():
             gray_bits=cfg.gray_bits, gray_period=float(cfg.gray_period),
             phase_period=float(cfg.phase_period), n_steps=cfg.phase_steps,
             fov_min=cfg.fov_min, fov_max=cfg.fov_max))
-    line("grayphase", dt, (n_gp + 24) * px)
+    line("grayphase", dt, (n_gp + 16) * px)
     emit("device_fps_grayphase_decode_2mp", round(1.0 / dt, 1), "fps",
          round(1.0 / dt / 60.0, 3))
 

@@ -30,13 +30,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from slc_tpu.pallas.mathx import sliding_extrema, sliding_row_sum
+from slc_tpu.pallas.mathx import sliding_extrema, sliding_row_sum, \
+    lin_coeffs
 
 PAD = 8  # row padding so halo DMA offsets stay 8/32-aligned
 
 
 def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
-            c_ref, d_ref,
             pu_out, sw_out, sb_out, z_out, x_out, y_out,
             f_scr, pw_scr, pb_scr, pu_scr, sem, *,
             window: int, subpixel: bool, frac_bits: int,
@@ -118,6 +118,9 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
     pu_new = pu_core + dp                       # CCalculation.cpp:652-660
 
     # --- triangulation + back-projection (CCalculation.cpp:666-785) --
+    # C/D regenerated from their bilinear coefficients (mathx.
+    # lin_coeffs; 8 B/px of HBM streams removed in round 4); the
+    # rational divide is a fast reciprocal + one Newton step (~2^-24).
     a = scalars[0, 0]
     b = scalars[0, 1]
     fx = scalars[0, 2]
@@ -126,22 +129,28 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
     cy = scalars[0, 5]
     fov_min = scalars[0, 6]
     fov_max = scalars[0, 7]
+    cu, cv, c0 = scalars[0, 8], scalars[0, 9], scalars[0, 10]
+    du, dv, d0 = scalars[0, 11], scalars[0, 12], scalars[0, 13]
 
     out_w = pu_out.shape[1]
-    denom = c_ref[:] - d_ref[:] * pu_new[:, :out_w]
-    z = (b * pu_new[:, :out_w] - a) / denom
+    ucol = jax.lax.broadcasted_iota(jnp.int32, (1, out_w), 1
+                                    ).astype(jnp.float32)
+    vrow = (i * bh
+            + jax.lax.broadcasted_iota(jnp.int32, (bh, 1), 0)
+            ).astype(jnp.float32)
+    c_blk = cu * ucol + (cv * vrow + c0)
+    d_blk = du * ucol + (dv * vrow + d0)
+    denom = c_blk - d_blk * pu_new[:, :out_w]
+    r0 = pl.reciprocal(denom, approx=True)
+    r1 = r0 * (jnp.float32(2.0) - denom * r0)
+    z = (b * pu_new[:, :out_w] - a) * r1
     hole = pu_new[:, :out_w] == 0
     z = jnp.where(hole | (z < fov_min) | (z > fov_max), 0.0, z)
 
-    g_rows = (i * bh
-              + jax.lax.broadcasted_iota(jnp.int32, (bh, out_w), 0)
-              ).astype(jnp.float32)
-    g_cols = jax.lax.broadcasted_iota(jnp.int32, (bh, out_w), 1
-                                      ).astype(jnp.float32)
     inv_fx = 1.0 / fx                  # scalar once per block
     inv_fy = 1.0 / fy
-    x_out[:] = z * ((g_cols - cx) * inv_fx)
-    y_out[:] = z * ((g_rows - cy) * inv_fy)
+    x_out[:] = z * ((ucol - cx) * inv_fx)
+    y_out[:] = z * ((vrow - cy) * inv_fy)
     z_out[:] = z
     pu_out[:] = pu_new[:, :out_w]
     sw_out[:] = sw[1:1 + bh, :out_w]
@@ -162,7 +171,9 @@ def dynamic_step_pallas(frame: jax.Array, prev_sw: jax.Array,
                         interpret: bool = False
                         ) -> Tuple[jax.Array, ...]:
     """Fused dynamic step. ``scalars`` is a (1, 8) f32 array
-    [A, B, fx, fy, cx, cy, fov_min, fov_max] (SMEM-prefetched).
+    [A, B, fx, fy, cx, cy, fov_min, fov_max] (SMEM-prefetched; the
+    wrapper appends C/D's six bilinear coefficients — the (H, W)
+    ``c``/``d`` maps themselves are never transferred).
 
     Returns (proj_u', strip_w', strip_b', z, x, y), each (H, W) f32.
     """
@@ -189,10 +200,15 @@ def dynamic_step_pallas(frame: jax.Array, prev_sw: jax.Array,
         scale_gradient=scale_gradient, robust=robust, block_h=block_h,
         img_h=h, img_w=w, pad_w=pad_w, f_rows=f_rows, s_rows=s_rows)
 
+    cu, cv, c0 = lin_coeffs(c)
+    du, dv, d0 = lin_coeffs(d)
+    scal16 = jnp.concatenate([
+        scalars[0, :8],
+        jnp.stack([cu, cv, c0, du, dv, d0]).astype(jnp.float32),
+        jnp.zeros((2,), jnp.float32)]).reshape(1, 16)
+
     # Index maps receive the scalar-prefetch ref as an extra arg.
     out_spec = pl.BlockSpec((block_h, w), lambda i, s: (i, 0),
-                            memory_space=pltpu.VMEM)
-    blk_spec = pl.BlockSpec((block_h, w), lambda i, s: (i, 0),
                             memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct((h, w), jnp.float32)
 
@@ -204,8 +220,6 @@ def dynamic_step_pallas(frame: jax.Array, prev_sw: jax.Array,
             pl.BlockSpec(memory_space=pl.ANY),   # prev strip_w
             pl.BlockSpec(memory_space=pl.ANY),   # prev strip_b
             pl.BlockSpec(memory_space=pl.ANY),   # prev proj_u
-            blk_spec,                            # tables.c
-            blk_spec,                            # tables.d
         ],
         out_specs=(out_spec,) * 6,
         scratch_shapes=[
@@ -221,4 +235,4 @@ def dynamic_step_pallas(frame: jax.Array, prev_sw: jax.Array,
         grid_spec=grid_spec,
         out_shape=(shp,) * 6,
         interpret=interpret,
-    )(scalars, f_pad, pw_pad, pb_pad, pu_pad, c, d)
+    )(scal16, f_pad, pw_pad, pb_pad, pu_pad)

@@ -11,8 +11,10 @@ One kernel executes the reference's whole ``CalculateFirst`` compute —
 — per row block, all intermediates in VMEM. The composite XLA path
 (slc_tpu.pipeline.decode_first_frame) materializes the bit planes, the
 gray/binary maps, the wrapped phase, and the merge result in HBM; fused,
-the step reads the image stack ((2B+N) u8) + tables c, d (2 f32) and
-writes x, y, z, P (4 f32) — HBM speed-of-light for this computation.
+the step reads the image stack ((2B+N) u8) and writes x, y, z, P
+(4 f32). The triangulation tables C/D are regenerated in-kernel from
+their six bilinear coefficients (mathx.lin_coeffs) instead of being
+streamed — 8 B/px of HBM traffic removed (round 4).
 
 Everything is elementwise, so the grid is a 1-D row-block sweep with
 plain pipelined BlockSpecs — no halos, no manual DMA. ``atan2`` uses the
@@ -31,12 +33,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from slc_tpu.pallas.mathx import atan2 as _atan2
+from slc_tpu.pallas.mathx import atan2 as _atan2, lin_coeffs
 
 _TWO_PI = 2.0 * math.pi
 
 
-def _kernel(scal_ref, img_ref, c_ref, d_ref,
+def newton_recip(v):
+    """Fast reciprocal + one Newton step r' = r*(2 - v*r): the raw
+    hardware approximation is only ~8-bit; one refinement squares that
+    to ~2^-16 relative — indistinguishable from the exact divide for
+    phase math, still far cheaper than the VPU divide."""
+    r = pl.reciprocal(v, approx=True)
+    return r * (jnp.float32(2.0) - v * r)
+
+
+def _kernel(scal_ref, img_ref,
             x_out, y_out, z_out, pu_out, *,
             gray_bits: int, n_steps: int, gray_period: float,
             phase_period: float,
@@ -87,7 +98,8 @@ def _kernel(scal_ref, img_ref, c_ref, d_ref,
                 t = img * jnp.float32(sk * 2.0 / n)
                 c = t if c is None else c + t
     period = phase_period                    # T = 2 Gray bins
-    ang = _atan2(s, c, bounded=True)
+    ang = _atan2(s, c, bounded=True,
+                 recip=newton_recip)
     ang = jnp.where(ang < 0, ang + jnp.float32(_TWO_PI), ang)
     pix = ang * jnp.float32(period / _TWO_PI) + 0.5
     pix = jnp.where(pix > period, pix - period, pix)
@@ -112,21 +124,29 @@ def _kernel(scal_ref, img_ref, c_ref, d_ref,
     fy = scal_ref[0, 3]
     cx = scal_ref[0, 4]
     cy = scal_ref[0, 5]
-    denom = c_ref[:] - d_ref[:] * pu
-    z = (b_s * pu - a_s) / denom
-    z = jnp.where((pu == 0) | (z < fov_min) | (z > fov_max), 0.0, z)
+    cu, cv, c0 = scal_ref[0, 6], scal_ref[0, 7], scal_ref[0, 8]
+    du, dv, d0 = scal_ref[0, 9], scal_ref[0, 10], scal_ref[0, 11]
 
     i = pl.program_id(0)
     bh, bw = z_out.shape
-    g_rows = (i * block_h
-              + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
-              ).astype(jnp.float32)
-    g_cols = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1
-                                      ).astype(jnp.float32)
+    # Broadcastable index vectors: (1, w) columns, (bh, 1) global rows.
+    ucol = jax.lax.broadcasted_iota(jnp.int32, (1, bw), 1
+                                    ).astype(jnp.float32)
+    vrow = (i * block_h
+            + jax.lax.broadcasted_iota(jnp.int32, (bh, 1), 0)
+            ).astype(jnp.float32)
+    c_blk = cu * ucol + (cv * vrow + c0)
+    d_blk = du * ucol + (dv * vrow + d0)
+    denom = c_blk - d_blk * pu
+    # Fast reciprocal + one Newton step: ~2^-24 relative, f32-exact
+    # for the [fov_min, fov_max] window, cheaper than the VPU divide.
+    z = (b_s * pu - a_s) * newton_recip(denom)
+    z = jnp.where((pu == 0) | (z < fov_min) | (z > fov_max), 0.0, z)
+
     inv_fx = 1.0 / fx                  # scalar once per block
     inv_fy = 1.0 / fy
-    x_out[:] = z * ((g_cols - cx) * inv_fx)
-    y_out[:] = z * ((g_rows - cy) * inv_fy)
+    x_out[:] = z * ((ucol - cx) * inv_fx)
+    y_out[:] = z * ((vrow - cy) * inv_fy)
     z_out[:] = z
     pu_out[:] = pu
 
@@ -147,7 +167,9 @@ def grayphase_decode_pallas(images: jax.Array, c: jax.Array, d: jax.Array,
     """Fused Gray+phase absolute decode. ``images`` is the concatenated
     (2*gray_bits + n_steps, H, W) uint8 stack — Gray pattern/inverse
     pairs first, then the phase-shift fringes; ``scalars`` is a (1, 8)
-    f32 SMEM array [A, B, fx, fy, cx, cy, 0, 0]. Returns
+    f32 SMEM array [A, B, fx, fy, cx, cy, 0, 0]. ``c``/``d`` are the
+    (H, W) triangulation tables; only their six bilinear coefficients
+    enter the kernel — the maps are never transferred. Returns
     (x, y, z, proj_u)."""
     if n_steps < 3:
         # With n < 3 every sin(2*pi*k/n) term vanishes and the sine
@@ -165,6 +187,13 @@ def grayphase_decode_pallas(images: jax.Array, c: jax.Array, d: jax.Array,
                     else float(min_modulation) ** 2),
         fov_min=fov_min, fov_max=fov_max, block_h=block_h)
 
+    cu, cv, c0 = lin_coeffs(c)
+    du, dv, d0 = lin_coeffs(d)
+    scal16 = jnp.concatenate([
+        scalars[0, :6],
+        jnp.stack([cu, cv, c0, du, dv, d0]).astype(jnp.float32),
+        jnp.zeros((4,), jnp.float32)]).reshape(1, 16)
+
     blk = pl.BlockSpec((block_h, w), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct((h, w), jnp.float32)
@@ -172,15 +201,14 @@ def grayphase_decode_pallas(images: jax.Array, c: jax.Array, d: jax.Array,
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i: (0, 0),
+            pl.BlockSpec((1, 16), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((nf, block_h, w), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            blk, blk,
         ],
         out_specs=(blk,) * 4,
         out_shape=(shp,) * 4,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(scalars, images, c, d)
+    )(scal16, images)

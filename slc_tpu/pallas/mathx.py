@@ -32,13 +32,19 @@ def _atan_poly(t):
     return p * z * t + t
 
 
-def atan2(y, x, bounded: bool = False):
+def atan2(y, x, bounded: bool = False, recip=None):
     """Four-quadrant arctangent in [-pi, pi], elementwise, f32.
 
     Same quadrant conventions as ``jnp.arctan2``; (0, 0) -> 0. Uses the
     min/max-ratio octant reduction so the polynomial argument stays in
     [0, 1], then the Cephes tail fold atan(t) = pi/4 + atan((t-1)/(t+1))
     for t > tan(pi/8).
+
+    ``recip`` (e.g. ``pl.reciprocal(x, approx=True)`` inside Pallas)
+    replaces the single divide with a fast reciprocal: the ~2^-12
+    relative error on the fold ratio bounds the angle error by ~1e-4
+    rad (fringe-decode pixel error ~T*2e-5 — far below photon noise);
+    leave None for the exact divide.
 
     Magnitude floor: the ratio clamps its denominator at 1e-30, so when
     both |x| and |y| are below ~1e-30 (f32 subnormal territory) the
@@ -65,8 +71,9 @@ def atan2(y, x, bounded: bool = False):
         mx = jnp.where(huge, mx * 0.5, mx)
     big = mn > jnp.float32(_TAN_PI_8) * mx
     num = jnp.where(big, mn - mx, mn)
-    den = jnp.where(big, mn + mx, mx)
-    t = num / jnp.maximum(den, jnp.float32(1e-30))   # (-0.414, 0.414]
+    den = jnp.maximum(jnp.where(big, mn + mx, mx), jnp.float32(1e-30))
+    t = num * recip(den) if recip is not None else num / den
+    # t in (-0.414, 0.414]
     r = _atan_poly(t) + jnp.where(big, jnp.float32(0.25 * _PI),
                                   jnp.float32(0.0))
     r = jnp.where(ay > ax, jnp.float32(0.5 * _PI) - r, r)
@@ -360,3 +367,21 @@ def sliding_row_sum(f, base: int, n_out: int, window: int):
             off += p
         p //= 2
     return out
+
+def lin_coeffs(m):
+    """(ku, kv, k0) of an exactly-bilinear (H, W) map m(v, u) =
+    ku*u + kv*v + k0 (e.g. the triangulation tables C/D,
+    calib.build_tables) — lets fused kernels regenerate the map from
+    broadcast index vectors instead of streaming 4 B/px from HBM.
+
+    Extracted across the FULL span, not adjacent pixels: an adjacent
+    difference of f32-rounded values carries ~1 ulp of m, which the
+    u-multiplication amplifies by the image width (measured 0.02
+    absolute at 640 px — enough to shift z by ~2e-2). The full-span
+    slope divides that ulp by (n-1), so the reconstructed map stays
+    within ~2 ulp of the stored table everywhere."""
+    h, w = m.shape
+    k0 = m[0, 0]
+    return ((m[0, w - 1] - k0) * jnp.float32(1.0 / (w - 1)),
+            (m[h - 1, 0] - k0) * jnp.float32(1.0 / (h - 1)),
+            k0)

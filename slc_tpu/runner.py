@@ -108,20 +108,21 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
 
     # Analytic per-stage HBM footprints (bytes/pixel) so metrics.jsonl
     # reports achieved GB/s per stage (SURVEY §5; VERDICT r2 item 7):
-    # decode reads N u8 images + 2 f32 tables, writes 4 f32 maps;
-    # the dynamic step moves 1 u8 + 5 f32 in, 6 f32 out = 45 B/px.
+    # decode reads N u8 images, writes 4 f32 maps (the C/D tables are
+    # regenerated in-kernel since round 4); the dynamic step moves
+    # 1 u8 + 3 f32 in, 6 f32 out = 37 B/px.
     # Wall-clock based: through a tunneled TPU this includes dispatch
     # RPC; bench.py's roofline lines are the device-timed numbers.
     px = cfg.cam_h * cfg.cam_w
     if mode == "heterodyne":
         from slc_tpu.config import HeterodyneConfig as _Het
         n_in = _Het(phase_steps=cfg.phase_steps).num_images
-        first_bytes = px * (n_in + 24)
+        first_bytes = px * (n_in + 16)
     elif mode == "gray":
-        first_bytes = px * (2 * cfg.gray_bits + cfg.phase_steps + 24)
+        first_bytes = px * (2 * cfg.gray_bits + cfg.phase_steps + 16)
     else:
         first_bytes = None     # spatial: CG iteration count is dynamic
-    step_bytes = 45 * px
+    step_bytes = 37 * px
 
     # --- frame 0: absolute decode (CalculateFirst) -------------------
     if mode == "gray":

@@ -60,10 +60,14 @@ def test_pallas_fused_dynamic_step_matches_xla(rng):
         window=cfg.reco_window, block_h=32, interpret=True)
     np.testing.assert_allclose(np.asarray(pu), np.asarray(ref.proj_u),
                                atol=2e-4)
+    # z tolerance 2e-3: the kernel's Newton-refined fast reciprocal is
+    # ~2^-16 relative (z ~ 50 -> ~8e-4 absolute), plus ~2 ulp from the
+    # bilinear C/D regeneration — both documented kernel properties,
+    # orders below the tracker's own noise floor.
     np.testing.assert_allclose(np.asarray(z), np.asarray(ref.z),
-                               atol=2e-4)
+                               atol=2e-3)
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
-                               atol=2e-5)
+                               atol=2e-4)
 
 
 def test_pallas_fused_heterodyne_matches_xla(rng):
@@ -103,10 +107,14 @@ def test_pallas_fused_heterodyne_matches_xla(rng):
     m = assert_heterodyne_parity(pu, ref.proj_u,
                                  het.periods(cfg.pro_w)[0],
                                  max_divergent=8)
+    # z tolerance 4e-3: the kernel's documented approx-reciprocal atan2
+    # (fold-ratio error ~2^-12 -> ~3e-4 px of wrapped phase) times the
+    # rig's dz/dP (up to ~7) — negligible against the pipeline's own
+    # noise-driven RMSE of ~0.011 at sigma = 1 gray level.
     np.testing.assert_allclose(np.asarray(z)[m], np.asarray(ref.z)[m],
-                               atol=1e-3)
+                               atol=4e-3)
     np.testing.assert_allclose(np.asarray(x)[m], np.asarray(ref.x)[m],
-                               atol=1e-3)
+                               atol=4e-3)
     np.testing.assert_allclose(np.asarray(y)[m], np.asarray(ref.y)[m],
                                atol=1e-3)
 
@@ -159,17 +167,20 @@ def test_pallas_fused_grayphase_matches_xla(rng):
             phase_period=float(cfg.phase_period), n_steps=cfg.phase_steps,
             min_modulation=min_mod, fov_min=cfg.fov_min,
             fov_max=cfg.fov_max, block_h=32, interpret=True)
-        # The polynomial atan2 (~2 ulp) can shift the wrapped phase by
-        # ~1e-5 px; Gray-bin parity selection is exact, so agreement is
-        # tight everywhere (no order-rounding boundary like heterodyne).
+        # Gray-bin parity selection is exact so there is no
+        # order-rounding boundary like heterodyne's; the kernel's
+        # documented approx-reciprocal atan2 shifts the wrapped phase
+        # by up to ~T*2e-5 px, which the rig's dz/dP (up to ~10)
+        # amplifies to <= ~8e-3 in z — far below the config-1 RMSE
+        # budget of 0.017 at 1-gray-level noise.
         np.testing.assert_allclose(np.asarray(pu), np.asarray(ref.proj_u),
-                                   atol=1e-3)
+                                   atol=2e-3)
         np.testing.assert_allclose(np.asarray(z), np.asarray(ref.z),
-                                   atol=1e-3)
+                                   atol=8e-3)
         np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
-                                   atol=1e-3)
+                                   atol=8e-3)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref.y),
-                                   atol=1e-3)
+                                   atol=8e-3)
 
 
 @pytest.mark.parametrize("window", [5, 8, 21])
