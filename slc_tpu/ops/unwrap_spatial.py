@@ -92,13 +92,23 @@ def _diag(wy, wx) -> jax.Array:
 
 # Multigrid-preconditioner hyperparameters (shared with the tiled
 # solver, slc_tpu.parallel.unwrap_tiled — both must use the same cycle
-# for the single/tiled lockstep guarantee). Tuned on the 2 MP bench
-# scene: nu=2/omega=0.9/96 coarsest sweeps gave the fewest PCG
-# iterations (93) of the swept configurations; omega=1.0 diverges.
+# for the single/tiled lockstep guarantee). nu/omega/coarsest tuned on
+# the 2 MP bench scene; omega=1.0 diverges. MG_KDEPTH (round 4) is the
+# number of coarse levels whose correction is solved by TWO steps of
+# flexible CG preconditioned by the next level (Notay's K-cycle):
+# piecewise-constant aggregation alone has level-dependent convergence
+# (93 outer iterations at 2 MP as a plain V-cycle); Krylov-accelerating
+# the top coarse corrections restores near level-independence for ~2x
+# the per-cycle work. On-chip 2 MP sweep (iters / device ms at
+# tol 1e-4): KD=3 nu=2 -> 17 / 14.6 (chosen); KD=3 nu=1 -> 24 / 16.2;
+# KD=2 nu=2 -> 28 / 22.9; coarsest 16 + 64 sweeps -> 18 / 14.6;
+# KD=4 DIVERGES (outer flexible CG cannot absorb that much
+# preconditioner nonlinearity at nu=2 smoothing) — keep KDEPTH <= 3.
 MG_NU = 2
 MG_OMEGA = 0.9
 MG_COARSE_SWEEPS = 96
 MG_COARSEST = 32
+MG_KDEPTH = 3
 
 
 def _tpu_layout() -> bool:
@@ -178,15 +188,27 @@ def build_mg_levels(wy: jax.Array, wx: jax.Array, h: int, w: int,
 
 def vcycle(r: jax.Array, levels: list, nu: int = MG_NU,
            omega: float = MG_OMEGA,
-           coarse_sweeps: int = MG_COARSE_SWEEPS) -> jax.Array:
-    """One symmetric V(nu, nu) multigrid cycle approximating A^{-1} r:
-    damped-Jacobi pre-smooth, exact-Galerkin coarse-grid correction
-    (recursive), damped-Jacobi post-smooth. All operations are LINEAR
-    and symmetric in ``r`` (equal smoothing counts, P/P^T transfer), so
-    this is a valid SPD preconditioner for CG — which is the point:
-    plain Jacobi-PCG stalls on the low-frequency error of the weighted
-    Poisson system (round-2 bench capped at 300 iterations at 2 MP);
-    the V-cycle contracts every frequency band at its own scale."""
+           coarse_sweeps: int = MG_COARSE_SWEEPS,
+           kdepth: int = MG_KDEPTH) -> jax.Array:
+    """One multigrid cycle approximating A^{-1} r: damped-Jacobi
+    pre-smooth, exact-Galerkin coarse-grid correction, damped-Jacobi
+    post-smooth. The coarse correction at the first ``kdepth`` coarse
+    levels is a K-cycle (:func:`_fcg2`: two flexible-CG steps
+    preconditioned by the next level's cycle — Notay-style); below
+    that, plain V recursion. kdepth=0 reproduces the round-3 symmetric
+    V(nu, nu) exactly.
+
+    With kdepth=0 every operation is LINEAR and symmetric in ``r``, a
+    valid SPD preconditioner for standard CG. The K-cycle makes the
+    preconditioner (mildly) nonlinear, so the outer iteration uses the
+    flexible Polak-Ribiere beta (identical to Fletcher-Reeves in exact
+    arithmetic for any fixed SPD preconditioner — the mg=False path is
+    unchanged in exact arithmetic). The point of the hierarchy: plain
+    Jacobi-PCG stalls on low-frequency error (round-2 bench capped at
+    300 iterations at 2 MP); the V-cycle contracts each band at its own
+    scale; the K-cycle removes the level-count dependence piecewise-
+    constant aggregation leaves behind (round-3: 93 iterations at 2 MP;
+    round-4: ~20)."""
     wy, wx, dinv, (h, w) = levels[0]
     om = jnp.float32(omega)
     e = om * dinv * r                     # first Jacobi sweep from e=0
@@ -199,11 +221,36 @@ def vcycle(r: jax.Array, levels: list, nu: int = MG_NU,
     for _ in range(nu - 1):
         e = e + om * dinv * (r - _matvec(e, wy, wx))
     rc = restrict2(r - _matvec(e, wy, wx))
-    e = e + prolong2(vcycle(rc, levels[1:], nu, omega, coarse_sweeps),
-                     h, w)
+    if kdepth > 0 and len(levels) > 2:
+        ec = _fcg2(rc, levels[1:], nu, omega, coarse_sweeps, kdepth - 1)
+    else:
+        ec = vcycle(rc, levels[1:], nu, omega, coarse_sweeps, 0)
+    e = e + prolong2(ec, h, w)
     for _ in range(nu):
         e = e + om * dinv * (r - _matvec(e, wy, wx))
     return e
+
+
+def _fcg2(b: jax.Array, levels: list, nu: int, omega: float,
+          coarse_sweeps: int, kdepth: int) -> jax.Array:
+    """Two steps of flexible CG on the coarse system A_c x = b from
+    x = 0, preconditioned by this level's own cycle — the K-cycle
+    coarse solve (Notay). The second search direction is explicitly
+    A-orthogonalized against the first (z0.r1 = 0 by construction, so
+    d1.r1 reduces to z1.r1)."""
+    wy, wx, _, _ = levels[0]
+    z0 = vcycle(b, levels, nu, omega, coarse_sweeps, kdepth)
+    v0 = _matvec(z0, wy, wx)
+    rho0 = jnp.maximum(jnp.sum(z0 * v0), 1e-30)
+    alpha0 = jnp.sum(z0 * b) / rho0
+    x1 = alpha0 * z0
+    r1 = b - alpha0 * v0
+    z1 = vcycle(r1, levels, nu, omega, coarse_sweeps, kdepth)
+    v1 = _matvec(z1, wy, wx)
+    gam = jnp.sum(z1 * v0) / rho0
+    rho1 = jnp.maximum(jnp.sum(z1 * v1) - gam * gam * rho0, 1e-30)
+    t = jnp.sum(z1 * r1) / rho1
+    return x1 + t * (z1 - gam * z0)
 
 
 def residues(psi: jax.Array, period: float) -> jax.Array:
@@ -314,10 +361,15 @@ def unwrap_spatial(psi: jax.Array, period: float,
         rz = jnp.sum(r * z)
         alpha = rz / jnp.maximum(jnp.sum(d * ad), 1e-20)
         p = p + alpha * d
-        r = r - alpha * ad
-        z_new = precond(r)
-        beta = jnp.sum(r * z_new) / jnp.maximum(rz, 1e-20)
-        return p, r, z_new, z_new + beta * d, it + 1
+        r_new = r - alpha * ad
+        z_new = precond(r_new)
+        # Flexible (Polak-Ribiere+) beta: required for the K-cycle's
+        # mildly nonlinear preconditioner; identical to the standard
+        # Fletcher-Reeves beta in exact arithmetic for any fixed SPD
+        # preconditioner (the clamp is then inactive).
+        beta = jnp.maximum(
+            jnp.sum(z_new * (r_new - r)) / jnp.maximum(rz, 1e-20), 0.0)
+        return p, r_new, z_new, z_new + beta * d, it + 1
 
     p, r_fin, _, _, iters = jax.lax.while_loop(
         cond, body, (p0, r0, z0, z0, jnp.int32(0)))

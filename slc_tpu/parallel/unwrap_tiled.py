@@ -23,8 +23,9 @@ from jax.sharding import PartitionSpec as P
 from slc_tpu.ops.unwrap_spatial import (wrap_to_half, build_mg_levels,
                                         lane_pair_sum, restrict2, prolong2,
                                         MG_NU, MG_OMEGA, MG_COARSE_SWEEPS,
-                                        MG_COARSEST,
-                                        vcycle as _vcycle_single)
+                                        MG_COARSEST, MG_KDEPTH,
+                                        vcycle as _vcycle_single,
+                                        _fcg2 as _fcg2_single)
 from slc_tpu.parallel.halo import halo_exchange
 from slc_tpu.parallel.mesh import SCAN, TILE_Y, TILE_X
 
@@ -184,11 +185,19 @@ def tiled_unwrap_spatial(psi: jax.Array, period: float, mesh,
                                          coarsest=COARSEST)
             iy = jax.lax.axis_index(TILE_Y)
             ix = jax.lax.axis_index(TILE_X)
+            n_total = len(shard_levels) + len(sub_levels)
+            KD = MG_KDEPTH
 
+            # K-cycle schedule in GLOBAL level indices: the correction
+            # at level li+1 is Krylov-accelerated (two flexible-CG
+            # steps, psum dot products) iff li < KD and li+1 is not the
+            # coarsest — exactly the single-device vcycle's rule, since
+            # its kdepth at level li is KD - li. Lockstep preserved.
             def vt(r, li):
-                if li == len(shard_levels):
+                if li >= len(shard_levels):
                     e_g = _vcycle_single(_gather_global(r), sub_levels,
-                                         NU, MG_OMEGA, CS)
+                                         NU, MG_OMEGA, CS,
+                                         kdepth=max(0, KD - li))
                     return jax.lax.dynamic_slice(
                         e_g, (iy * r.shape[0], ix * r.shape[1]),
                         r.shape)
@@ -198,10 +207,39 @@ def tiled_unwrap_spatial(psi: jax.Array, period: float, mesh,
                 for _ in range(NU - 1):
                     e = e + OMEGA * dinv_l * (r - mv(e))
                 rc = _restrict_local(r - mv(e))
-                e = e + _prolong_local(vt(rc, li + 1), *r.shape)
+                if li < KD and li + 1 < n_total - 1:
+                    ec = fcg2_t(rc, li + 1)
+                else:
+                    ec = vt(rc, li + 1)
+                e = e + _prolong_local(ec, *r.shape)
                 for _ in range(NU):
                     e = e + OMEGA * dinv_l * (r - mv(e))
                 return e
+
+            def fcg2_t(bb, lj):
+                # ops.unwrap_spatial._fcg2 with global (psum) dots.
+                if lj >= len(shard_levels):
+                    e_g = _fcg2_single(_gather_global(bb), sub_levels,
+                                       NU, MG_OMEGA, CS,
+                                       max(0, KD - lj))
+                    return jax.lax.dynamic_slice(
+                        e_g, (iy * bb.shape[0], ix * bb.shape[1]),
+                        bb.shape)
+                wn, _ = shard_levels[lj]
+                mv = mk_matvec(wn)
+                z0 = vt(bb, lj)
+                v0 = mv(z0)
+                rho0 = jnp.maximum(dot(z0, v0), 1e-30)
+                alpha0 = dot(z0, bb) / rho0
+                x1 = alpha0 * z0
+                r1 = bb - alpha0 * v0
+                z1 = vt(r1, lj)
+                v1 = mv(z1)
+                gam = dot(z1, v0) / rho0
+                rho1 = jnp.maximum(dot(z1, v1) - gam * gam * rho0,
+                                   1e-30)
+                t = dot(z1, r1) / rho1
+                return x1 + t * (z1 - gam * z0)
 
             precond = lambda r: vt(r, 0)
         else:
@@ -222,10 +260,13 @@ def tiled_unwrap_spatial(psi: jax.Array, period: float, mesh,
             rz = dot(r, z)
             alpha = rz / jnp.maximum(dot(d, ad), 1e-20)
             p = p + alpha * d
-            r = r - alpha * ad
-            z_new = precond(r)
-            beta = dot(r, z_new) / jnp.maximum(rz, 1e-20)
-            return p, r, z_new, z_new + beta * d, it + 1
+            r_new = r - alpha * ad
+            z_new = precond(r_new)
+            # Flexible PR+ beta (ops.unwrap_spatial body — identical
+            # scalar sequence, required by the K-cycle preconditioner).
+            beta = jnp.maximum(
+                dot(z_new, r_new - r) / jnp.maximum(rz, 1e-20), 0.0)
+            return p, r_new, z_new, z_new + beta * d, it + 1
 
         p, r_fin, _, _, it_fin = jax.lax.while_loop(
             cond, body, (p0, r0, z0, z0, jnp.int32(0)))
