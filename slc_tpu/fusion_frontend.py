@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from slc_tpu import se3, fusion
+from slc_tpu.fusion import _highest_precision
 
 
 def backproject_grid(depth: jax.Array, cam_k: jax.Array, step: int
@@ -87,6 +88,7 @@ def _bilinear(depth: jax.Array, x: jax.Array, y: jax.Array
 
 
 @functools.partial(jax.jit, static_argnames=("grid_step",))
+@_highest_precision
 def associate_projective(depths: jax.Array, cam_k: jax.Array,
                          rot: jax.Array, trans: jax.Array,
                          grid_step: int = 8,
@@ -99,7 +101,14 @@ def associate_projective(depths: jax.Array, cam_k: jax.Array,
     (L = S * grid points): a chain of pairwise-overlapping scans stays
     connected even when the ends share no common surface. Landmark
     normals (owner scan's surface normal, rotated to world) are
-    returned for the point-to-plane solve."""
+    returned for the point-to-plane solve.
+
+    Runs at highest matmul precision: the pose transforms contract
+    against 3x3 rotations, which TPU einsums otherwise evaluate in
+    bf16 passes — at landmark magnitudes of ~60 scene units that is
+    ~0.2 of absolute error, which showed up as an irreducible ~0.05
+    ATE floor at 2 MP (poses drifted even when initialized at ground
+    truth). The contractions are tiny; full precision is free."""
     def grid_world(depth_s, rot_s, trans_s):
         pts, nrm, ok = grid_points_normals(depth_s, cam_k, grid_step)
         return (se3.apply(rot_s, trans_s, pts),
@@ -139,15 +148,74 @@ def associate_projective(depths: jax.Array, cam_k: jax.Array,
     return obs, mask.astype(depths.dtype), landmarks, normals
 
 
+@functools.partial(jax.jit, static_argnames=("n_anchor_landmarks",))
+@_highest_precision
+def anchor_gauge_align(rot: jax.Array, trans: jax.Array,
+                       obs: jax.Array, mask: jax.Array,
+                       landmarks: jax.Array, normals: jax.Array,
+                       n_anchor_landmarks: int) -> Tuple[jax.Array,
+                                                         jax.Array]:
+    """Rigid gauge re-registration to the anchor scan.
+
+    The consensus p2l rounds make the scans MUTUALLY consistent, but
+    the common-mode rigid offset of the whole ensemble relative to
+    scan 0 is only pulled by the ~1/S of observations that reference
+    scan-0 landmarks — measured to stall at a nonzero fixed point (the
+    consensus landmarks rebuild at the ensemble's own poses every
+    association round, so the dilution never resolves). This step
+    estimates ONE SE(3) transform G from ALL non-anchor observations
+    of anchor-owned landmarks (point-to-plane GN on 6 DoF) and applies
+    it to every non-anchor pose: the ensemble's internal registration
+    is untouched (rigid motion), chains where only some scans see the
+    anchor still correct fully, and the gauge lands on scan 0."""
+    g = n_anchor_landmarks
+    s = rot.shape[0]
+    # World-frame predicted points for observations of anchor landmarks
+    # by non-anchor scans.
+    pred = jnp.einsum("sij,slj->sli", rot, obs[:, :g]) \
+        + trans[:, None, :]                              # (S, g, 3)
+    m = mask[:, :g] * (jnp.arange(s) > 0)[:, None]       # exclude scan 0
+    x = landmarks[None, :g]
+    n = normals[None, :g]
+    r = jnp.sum(n * (pred - x), axis=-1)                 # (S, g)
+
+    def gn(carry, _):
+        r_acc, t_acc = carry
+        p = jnp.einsum("ij,slj->sli", r_acc, pred) + t_acc
+        res = jnp.sum(n * (p - x), axis=-1)
+        jw = jnp.cross(p, jnp.broadcast_to(n, p.shape))  # d(res)/d(omega)
+        j = jnp.concatenate([jw, jnp.broadcast_to(n, p.shape)], -1)
+        jm = j * m[..., None]
+        h = jnp.einsum("sli,slj->ij", jm, j)
+        b = -jnp.einsum("sli,sl->i", jm, res)
+        h = h + 1e-6 * jnp.trace(h) / 6.0 * jnp.eye(6) + 1e-12 * jnp.eye(6)
+        step = jnp.linalg.solve(h, b)
+        dr = se3.exp_so3(step[:3])
+        return (dr @ r_acc,
+                jnp.einsum("ij,j->i", dr, t_acc) + step[3:]), None
+
+    (d_rot, dt), _ = jax.lax.scan(gn, (jnp.eye(3), jnp.zeros(3)),
+                                  None, length=3)
+    keep = (jnp.arange(s) == 0)[:, None, None]
+    new_rot = jnp.where(keep, rot, d_rot[None] @ rot)
+    new_trans = jnp.where(
+        keep[..., 0], trans,
+        jnp.einsum("ij,sj->si", d_rot, trans) + dt)
+    return new_rot, new_trans
+
+
 def register_scans(depths: jax.Array, cam_k: jax.Array,
                    init_rot: jax.Array, init_trans: jax.Array,
                    rounds: int = 4, gn_iters: int = 5,
-                   grid_step: int = 8, max_depth_err: float = 1.0
+                   grid_step: int = 8, max_depth_err: float = 1.0,
+                   anchor_gauge: bool = True
                    ) -> Tuple[jax.Array, jax.Array]:
     """Joint multi-scan registration: alternate projective association
     with point-to-plane Schur-complement bundle adjustment (point-to-
     point slides tangentially on smooth surfaces; the normal-projected
-    residual does not). Returns refined world_from_scan (rot (S,3,3),
+    residual does not), then re-register the ensemble's gauge to the
+    anchor scan (:func:`anchor_gauge_align`; ``anchor_gauge=False``
+    skips it). Returns refined world_from_scan (rot (S,3,3),
     trans (S,3))."""
     rot, trans = (jnp.asarray(init_rot, jnp.float32),
                   jnp.asarray(init_trans, jnp.float32))
@@ -159,4 +227,11 @@ def register_scans(depths: jax.Array, cam_k: jax.Array,
         rot, trans, _ = fusion.fuse_scans_p2l(
             obs, mask, normals, init_rot=rot, init_trans=trans,
             init_landmarks=lm, iters=gn_iters)
+    if anchor_gauge:
+        h, w = depths.shape[1:]
+        g = (h // grid_step) * (w // grid_step)
+        obs, mask, lm, normals = associate_projective(
+            depths, cam_k, rot, trans, grid_step, max_depth_err)
+        rot, trans = anchor_gauge_align(rot, trans, obs, mask, lm,
+                                        normals, g)
     return rot, trans

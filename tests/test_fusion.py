@@ -111,3 +111,56 @@ def test_register_scans_from_depth_maps(rng):
                                 jnp.asarray(trans_gt, jnp.float32)))
     assert ate < 0.25 * ate0, (ate0, ate)
     assert ate < 0.05, ate
+
+
+def test_anchor_gauge_align_removes_common_mode(rng):
+    """The consensus p2l rounds leave the ensemble's rigid offset to
+    the anchor scan at a nonzero fixed point (the ~1/S of anchor-
+    landmark observations cannot outvote the self-rebuilt consensus —
+    measured as a stalled ~0.1 ATE at 16 scans). anchor_gauge_align
+    must remove it: final ATE well under the per-link noise, with the
+    ensemble's internal registration untouched (rigid motion only)."""
+    import jax.numpy as jnp
+    from slc_tpu.calib import synthetic_calibration
+    from slc_tpu.synth import render_depth_from_pose
+    from slc_tpu.fusion_frontend import register_scans
+
+    h, w = 120, 160
+    calib = synthetic_calibration(cam_h=h, cam_w=w, cam_f=130.0)
+    s = 8
+    center = np.array([0.0, 0.0, 62.0])
+    rot_gt, trans_gt = [], []
+    for i in range(s):
+        r = np.asarray(se3.exp_so3(jnp.asarray(
+            [0.01 * (i - 4), 0.05 * (i - 4), 0.0], jnp.float32)),
+            np.float64)
+        t = (np.eye(3) - r) @ center
+        rot_gt.append(r)
+        trans_gt.append(t)
+    rot_gt = np.stack(rot_gt)
+    trans_gt = np.stack(trans_gt)
+    depths = np.stack([
+        render_depth_from_pose(calib, h, w, rot_gt[i], trans_gt[i])
+        for i in range(s)]).astype(np.float32)
+
+    # Coherent common-mode perturbation (the failure mode): every
+    # non-anchor scan shifted by the SAME offset plus small noise.
+    rot0 = rot_gt.copy()
+    trans0 = trans_gt.copy()
+    common = np.array([0.12, -0.05, 0.08])
+    for i in range(1, s):
+        trans0[i] = trans0[i] + common + rng.normal(0, 0.02, 3)
+
+    gtr = jnp.asarray(rot_gt, jnp.float32)
+    gtt = jnp.asarray(trans_gt, jnp.float32)
+    args = (jnp.asarray(depths),
+            jnp.asarray(np.asarray(calib.cam_k), jnp.float32),
+            jnp.asarray(rot0, jnp.float32),
+            jnp.asarray(trans0, jnp.float32))
+    kw = dict(rounds=6, gn_iters=5, grid_step=6, max_depth_err=2.0)
+    r_no, t_no = register_scans(*args, anchor_gauge=False, **kw)
+    r_yes, t_yes = register_scans(*args, anchor_gauge=True, **kw)
+    ate_no = float(fusion.ate_rmse(r_no, t_no, gtr, gtt))
+    ate_yes = float(fusion.ate_rmse(r_yes, t_yes, gtr, gtt))
+    assert ate_yes < 0.05, (ate_yes, ate_no)
+    assert ate_yes < 0.5 * max(ate_no, 1e-9), (ate_yes, ate_no)

@@ -209,3 +209,39 @@ def test_tiled_unwrap_hard_scene_matches_single(eight_devices, rng):
         == int(ri["anchor_disagreement_count"])
     # Lockstep CG: same iteration count.
     assert int(gi["cg_iters"]) == int(ri["cg_iters"])
+
+
+def test_tiled_step_collective_bytes(eight_devices):
+    """Comms accounting measured from the compiled artifact (VERDICT r3
+    item 8): the tiled dynamic step's per-device collective traffic
+    must be halo-dominated (collective-permute) and a tiny fraction of
+    its HBM footprint — the property that makes image-tile SP nearly
+    free on ICI."""
+    import functools
+    from jax.sharding import NamedSharding
+    from slc_tpu.parallel.tiled import tiled_batched_dynamic_step
+    from slc_tpu.devtime import hlo_collective_bytes
+
+    h, w = 128, 256
+    cfg = SystemConfig(cam_h=h, cam_w=w, pro_h=h, pro_w=640,
+                       gray_bits=5)
+    calib = synthetic_calibration(cam_h=h, cam_w=w, pro_h=h, pro_w=640)
+    tables = build_tables(calib, h, w)
+    mesh = tile_mesh(jax.devices(), scan=1, tiles=(2, 4))
+    sh = NamedSharding(mesh, P(None, "ty", "tx"))
+    rng = np.random.default_rng(0)
+    put = lambda a: jax.device_put(a[None], sh)
+    frame = put(rng.integers(0, 256, (h, w), np.uint8))
+    f32 = lambda: put(rng.uniform(0, 100, (h, w)).astype(np.float32))
+    state = TrackerState(proj_u=f32(), strip_w=f32(), strip_b=f32(),
+                         z=f32(), frame_idx=jnp.zeros((1,), jnp.int32))
+    fn = jax.jit(functools.partial(tiled_batched_dynamic_step,
+                                   tables=tables, cfg=cfg, mesh=mesh))
+    txt = fn.lower(state, frame).compile().as_text()
+    stats = hlo_collective_bytes(txt)
+    assert stats["ops"] > 0
+    # Halo-dominated: psum carries only scalar metrics.
+    assert stats["collective-permute"] > 100 * stats["all-reduce"]
+    # Tiny vs the per-tile HBM footprint (37 B/px).
+    hbm = 37 * h * w // 8
+    assert stats["collective-permute"] < 0.1 * hbm, stats
