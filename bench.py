@@ -371,14 +371,16 @@ def bench_sequence100():
         v = z > 0
         return float(np.median(np.abs(z[v] - gt[v])))
 
-    def run(scale_gradient, subpixel, robust):
+    def run(scale_gradient, subpixel, robust, phase_lock=None):
         st = init_tracker(jnp.asarray(frames[0]),
                           jnp.asarray(pu_gt[0], jnp.float32),
                           jnp.asarray(z_gt[0], jnp.float32), cfg,
                           subpixel=subpixel)
         st, res = run_sequence(st, jnp.asarray(frames[1:]), tables, cfg,
                                scale_gradient=scale_gradient,
-                               subpixel=subpixel, robust=robust)
+                               subpixel=subpixel, robust=robust,
+                               phase_lock=phase_lock, lock_win_u=21,
+                               lock_win_v=9)
         return drift(np.asarray(res.z[-1]), z_gt[-1])
 
     d_imp = run(True, True, True)
@@ -386,6 +388,13 @@ def bench_sequence100():
     emit("c100_terminal_drift_improved", round(d_imp, 4), "scene_units",
          round(d_ref / max(d_imp, 1e-9), 2),
          frames=100, reference_semantics_drift=round(d_ref, 4))
+    # Phase-locked tracking (round 4, VERDICT r3 item 1): snap the
+    # integrated P to the wrapped stripe-carrier phase demodulated from
+    # every dynamic frame — O(1) terminal error, no re-anchor groups.
+    d_lock = run(True, True, True, phase_lock=12.0)
+    emit("c100_terminal_drift_phaselocked", round(d_lock, 4),
+         "scene_units", round(0.1 / max(d_lock, 1e-9), 2),
+         frames=100, vs_free_running=round(d_imp / max(d_lock, 1e-9), 1))
 
 
 def bench_config5():
