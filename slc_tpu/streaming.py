@@ -252,7 +252,11 @@ def measure_overlap(state: TrackerState, frames: List[np.ndarray],
     jax.block_until_ready(st.z)
 
     if compute_repeats == "auto":
-        # Probe both legs with the single-step path, then scale.
+        # Probe both legs with the single-step path, then scale. The
+        # single-step probe over-counts per-step cost on dispatch-bound
+        # links (each step pays an RPC the fori_loop'd repeat avoids),
+        # so a refinement pass below re-scales R from the legs as
+        # actually measured at the first guess.
         st = _copy(state)
         d0 = jax.device_put(frames[0])
         jax.block_until_ready(d0)
@@ -265,9 +269,29 @@ def measure_overlap(state: TrackerState, frames: List[np.ndarray],
         devs = [jax.device_put(f) for f in frames[:4]]
         jax.block_until_ready(devs)
         h2d_s = (time.perf_counter() - t0) / len(devs)
-        del devs
         compute_repeats = int(np.clip(round(h2d_s / max(step_s, 1e-9)),
                                       1, 1024))
+        # Refine: measure the fori_loop'd compute leg at the guess and
+        # re-scale so compute ~= transfer.
+        reps0 = int(compute_repeats)
+        if reps0 > 1:
+            st = _copy(state)
+            st = repeat_step(st, d0, reps0)       # compile
+            jax.block_until_ready(st.z)
+            st = _copy(state)
+            t0 = time.perf_counter()
+            for _ in range(4):
+                st = repeat_step(st, d0, reps0)
+            jax.block_until_ready(st.z)
+            rep_s = (time.perf_counter() - t0) / 4
+            # Aim compute ~= 1.5x transfer: tunnel-latency variance
+            # between the leg measurements is tens of percent, so
+            # aiming at exact equality leaves leg_ratio hovering at
+            # the balanced-regime boundary; overshooting keeps the
+            # ratio comfortably inside it either way.
+            compute_repeats = int(np.clip(
+                round(1.5 * reps0 * h2d_s / max(rep_s, 1e-9)), 1, 4096))
+        del devs
     reps = int(compute_repeats)
 
     def step(st, dev):
