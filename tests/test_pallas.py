@@ -286,3 +286,49 @@ def test_sliding_extrema_fast_mode_needs_headroom(rng):
                              frac_bits=7)
     np.testing.assert_array_equal(np.asarray(em), np.asarray(fm))
     np.testing.assert_array_equal(np.asarray(en), np.asarray(fn))
+
+
+def test_pallas_phase_lock_matches_xla(rng):
+    """The fused phase-lock kernel (demod + correction +
+    re-triangulation in one pass) must match the composite XLA path
+    (ops.demod + ops.triangulate) in interpreter mode, including image
+    borders (exact in-image tap normalization) and hole gating."""
+    from slc_tpu.config import SystemConfig
+    from slc_tpu.calib import synthetic_calibration, build_tables
+    from slc_tpu import synth
+    from slc_tpu.ops.demod import stripe_phase_correction
+    from slc_tpu.ops.triangulate import triangulate_xyz
+    from slc_tpu.pallas.phaselock import phase_lock_pallas
+
+    h, w = 96, 160
+    cfg = SystemConfig(cam_h=h, cam_w=w, pro_h=h, pro_w=640, gray_bits=5)
+    calib = synthetic_calibration(cam_h=h, cam_w=w, pro_h=h, pro_w=640)
+    tables = build_tables(calib, h, w)
+    frames, z_gt, pu_gt = synth.render_dynamic_sequence(
+        calib, cfg, 2, stripe_period=12, noise_sigma=1.0)
+    pred = np.asarray(pu_gt[1] + 1.3, np.float32)
+    pred[:, 40:48] = 0.0                       # hole band stays a hole
+    pred_j = jnp.asarray(pred)
+    fr = jnp.asarray(frames[1])
+
+    dp, _ = stripe_phase_correction(fr, pred_j, 12.0, 21, 9)
+    pu_ref = pred_j + dp
+    xr, yr, zr = triangulate_xyz(pu_ref, tables, cfg.fov_min,
+                                 cfg.fov_max)
+    scal = jnp.stack([tables.a, tables.b, tables.fx, tables.fy,
+                      tables.cx, tables.cy, jnp.float32(0.0),
+                      jnp.float32(0.0)]).reshape(1, 8)
+    pu_k, z_k, x_k, y_k = phase_lock_pallas(
+        fr, pred_j, tables.c, tables.d, scal, period=12.0, win_u=21,
+        win_v=9, fov_min=cfg.fov_min, fov_max=cfg.fov_max,
+        block_h=32, interpret=True)
+    # Tolerances: Newton-refined fast reciprocals (~2^-16) in the
+    # normalizations, atan2 and triangulation — documented kernel
+    # error budget.
+    np.testing.assert_allclose(np.asarray(pu_k), np.asarray(pu_ref),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(z_k), np.asarray(zr),
+                               atol=4e-3)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(xr),
+                               atol=4e-3)
+    assert np.all(np.asarray(pu_k)[:, 42:46] == pred[:, 42:46])

@@ -156,3 +156,32 @@ def test_compiled_stripe_fast_frac_matches_exact(rng):
     step = 1.0 / (1 << 7) + 1e-3          # quantum + approx-recip
     np.testing.assert_allclose(np.asarray(fw), np.asarray(ew), atol=step)
     np.testing.assert_allclose(np.asarray(fb), np.asarray(eb), atol=step)
+
+
+def test_compiled_phase_lock_matches_xla(rng):
+    """Compiled fused phase-lock kernel vs the XLA demod path."""
+    from slc_tpu.config import SystemConfig
+    from slc_tpu.calib import synthetic_calibration, build_tables
+    from slc_tpu import synth
+    from slc_tpu.ops.demod import stripe_phase_correction
+    from slc_tpu.pallas.phaselock import phase_lock_pallas
+
+    h, w = 256, 384
+    cfg = SystemConfig(cam_h=h, cam_w=w, pro_h=h, pro_w=640,
+                       gray_bits=5)
+    calib = synthetic_calibration(cam_h=h, cam_w=w, pro_h=h, pro_w=640)
+    tables = build_tables(calib, h, w)
+    frames, _, pu_gt = synth.render_dynamic_sequence(
+        calib, cfg, 2, stripe_period=12, noise_sigma=1.0)
+    pred = jnp.asarray(pu_gt[1] + 1.3, jnp.float32)
+    fr = jnp.asarray(frames[1])
+    dp, _ = stripe_phase_correction(fr, pred, 12.0, 21, 9)
+    pu_ref = pred + dp
+    scal = jnp.stack([tables.a, tables.b, tables.fx, tables.fy,
+                      tables.cx, tables.cy, jnp.float32(0.0),
+                      jnp.float32(0.0)]).reshape(1, 8)
+    pu_k, z_k, x_k, y_k = phase_lock_pallas(
+        fr, pred, tables.c, tables.d, scal, period=12.0, win_u=21,
+        win_v=9, fov_min=cfg.fov_min, fov_max=cfg.fov_max)
+    np.testing.assert_allclose(np.asarray(pu_k), np.asarray(pu_ref),
+                               atol=5e-3)
