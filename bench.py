@@ -274,6 +274,23 @@ def bench_config4():
          "fps", round(1.0 / dt_dev / 60.0, 3),
          device_ms=round(dt_dev * 1e3, 4))
 
+    # (a'') the same loop with PHASE-LOCKED tracking (the product
+    # default when the dataset records its stripe period): fused
+    # dynamic step + fused phase-lock kernel per frame.
+    box = [fresh_state()]
+
+    def one_step_locked():
+        st, res = dynamic_step(box[0], next(feed), tables, cfg,
+                               phase_lock=20.0, lock_win_u=21,
+                               lock_win_v=9, frac_bits=7)
+        box[0] = st
+        return res.z
+
+    dt_l = device_time_s(one_step_locked, n=30)
+    emit("c4_stream_fps_2mp_phaselocked_device_timed",
+         round(1.0 / dt_l, 1), "fps", round(1.0 / dt_l / 60.0, 3),
+         device_ms=round(dt_l * 1e3, 4))
+
     # (b) host feed: one 2 MB uint8 H2D per frame, no result fetch.
     host_frames = list(frames[1:])
     _, st_h = run_streaming(fresh_state(), host_frames, tables, cfg,
