@@ -372,3 +372,36 @@ def test_run_replay_npz_output(tmp_path):
     assert d["z"].dtype == np.float32
     dyn = np.load(os.path.join(out, "cFrame1.npz"))
     assert (dyn["z"] > 0).mean() > 0.5
+
+
+def test_run_replay_auto_phase_lock(tmp_path):
+    """--phase-lock auto: when the dataset manifest records its
+    stripe_period (as `synth`/`capture` now do), the runner must
+    resolve the lock period + window from the frame-0 decode and track
+    with substantially lower terminal error than the unlocked run on a
+    longer sequence."""
+    calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
+                                  pro_h=CFG.pro_h, pro_w=CFG.pro_w)
+    scene = synth.render_static_scene(calib, CFG,
+                                      synth.plane_surface(50.0),
+                                      noise_sigma=1.0)
+    frames, zs, _ = synth.render_dynamic_sequence(
+        calib, CFG, 30, z0=50.0, dz_per_frame=0.3, stripe_period=12,
+        noise_sigma=1.0)
+    root = str(tmp_path / "ds")
+    write_replay_dataset(root, scene.gray_images, scene.phase_images,
+                         frames, config_fields={"stripe_period": 12})
+    save_calibration(os.path.join(root, "parameters.yml"), calib)
+
+    errs = {}
+    for name, lock in (("locked", "auto"), ("free", None)):
+        out = str(tmp_path / name)
+        run_replay(root, os.path.join(root, "parameters.yml"), out,
+                   CFG, phase_lock=lock, out_format="npz")
+        z = np.load(os.path.join(out, "cFrame29.npz"))["z"]
+        r = CFG.reco_window // 2 + 2
+        zi, gi = z[r:-r, r:-r], zs[29][r:-r, r:-r]
+        v = zi > 0
+        errs[name] = float(np.median(np.abs(zi[v] - gi[v])))
+    assert errs["locked"] < 0.05, errs
+    assert errs["locked"] < 0.5 * errs["free"], errs
