@@ -177,7 +177,6 @@ def anchor_gauge_align(rot: jax.Array, trans: jax.Array,
     m = mask[:, :g] * (jnp.arange(s) > 0)[:, None]       # exclude scan 0
     x = landmarks[None, :g]
     n = normals[None, :g]
-    r = jnp.sum(n * (pred - x), axis=-1)                 # (S, g)
 
     def gn(carry, _):
         r_acc, t_acc = carry

@@ -230,14 +230,19 @@ class ReplayDataset:
         it = self._native_frames(start, prefetch) \
             if native and start < self.frame_count else None
         if it is not None:
-            for i in range(start, stop):
-                try:
-                    yield i, next(it), None
-                except StopIteration:
-                    return
-                except IOError as e:
-                    yield i, None, str(e)
-            it.close()
+            # try/finally: an abandoned generator (consumer exception
+            # or early break) must still release the native loader's
+            # thread pool and buffers.
+            try:
+                for i in range(start, stop):
+                    try:
+                        yield i, next(it), None
+                    except StopIteration:
+                        return
+                    except IOError as e:
+                        yield i, None, str(e)
+            finally:
+                it.close()
             return
         q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
         stop_evt = threading.Event()

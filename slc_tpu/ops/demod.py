@@ -172,4 +172,5 @@ def suggest_lock_window(proj_u0: np.ndarray, period: float,
     valid = (pu[1:-1, 1:-1] > 0) & (np.abs(g) > 1e-3)
     med = float(np.median(np.abs(g[valid]))) if valid.any() else 1.0
     win = int(round(periods_per_window * period / max(med, 1e-3)))
-    return int(np.clip(win | 1, 3, max_window))   # odd, bounded
+    win = int(np.clip(win, 3, max_window))
+    return win if win % 2 else win - 1            # odd, bounded

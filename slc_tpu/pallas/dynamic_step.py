@@ -30,8 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from slc_tpu.pallas.mathx import sliding_extrema, sliding_row_sum, \
-    lin_coeffs
+from slc_tpu.pallas.mathx import (sliding_extrema, sliding_row_sum,
+                                  lin_coeffs, newton_recip)
 
 PAD = 8  # row padding so halo DMA offsets stay 8/32-aligned
 
@@ -141,9 +141,7 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
     c_blk = cu * ucol + (cv * vrow + c0)
     d_blk = du * ucol + (dv * vrow + d0)
     denom = c_blk - d_blk * pu_new[:, :out_w]
-    r0 = pl.reciprocal(denom, approx=True)
-    r1 = r0 * (jnp.float32(2.0) - denom * r0)
-    z = (b * pu_new[:, :out_w] - a) * r1
+    z = (b * pu_new[:, :out_w] - a) * newton_recip(denom)
     hole = pu_new[:, :out_w] == 0
     z = jnp.where(hole | (z < fov_min) | (z > fov_max), 0.0, z)
 

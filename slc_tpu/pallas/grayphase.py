@@ -33,18 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from slc_tpu.pallas.mathx import atan2 as _atan2, lin_coeffs
+from slc_tpu.pallas.mathx import (atan2 as _atan2, lin_coeffs,
+                                  newton_recip)
 
 _TWO_PI = 2.0 * math.pi
-
-
-def newton_recip(v):
-    """Fast reciprocal + one Newton step r' = r*(2 - v*r): the raw
-    hardware approximation is only ~8-bit; one refinement squares that
-    to ~2^-16 relative — indistinguishable from the exact divide for
-    phase math, still far cheaper than the VPU divide."""
-    r = pl.reciprocal(v, approx=True)
-    return r * (jnp.float32(2.0) - v * r)
 
 
 def _kernel(scal_ref, img_ref,

@@ -22,6 +22,17 @@ _PI = math.pi
 _TAN_PI_8 = math.sqrt(2.0) - 1.0   # tan(pi/8): Cephes atanf split point
 
 
+def newton_recip(v):
+    """Fast reciprocal + one Newton step r' = r*(2 - v*r): the raw
+    hardware approximation is only ~8-bit; one refinement squares that
+    to ~2^-16 relative — indistinguishable from the exact divide for
+    phase/triangulation math, still far cheaper than the VPU divide.
+    Pallas-only (pl.reciprocal has no eval rule outside kernels)."""
+    from jax.experimental import pallas as pl
+    r = pl.reciprocal(v, approx=True)
+    return r * (jnp.float32(2.0) - v * r)
+
+
 def _atan_poly(t):
     """Minimax atan(t) for |t| <= tan(pi/8) (Cephes atanf coefficients)."""
     z = t * t

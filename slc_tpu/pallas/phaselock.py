@@ -39,14 +39,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from slc_tpu.pallas.mathx import atan2 as _atan2, lin_coeffs
+from slc_tpu.pallas.mathx import (atan2 as _atan2, lin_coeffs,
+                                  newton_recip as _newton_recip)
 
 _TWO_PI = 2.0 * math.pi
-
-
-def _newton_recip(v):
-    r = pl.reciprocal(v, approx=True)
-    return r * (jnp.float32(2.0) - v * r)
 
 
 def _box_rows(x, base, n_out, win):

@@ -184,6 +184,11 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
     elif lock_window is not None:
         lock_win = int(lock_window)
 
+    if lock_period is not None:
+        # The locked step runs the fused phase-lock kernel after the
+        # dynamic step: frame (u8) + P (f32) in, 4 f32 maps out.
+        step_bytes += 21 * px
+
     def step(st, frame_dev):
         return dynamic_step(st, frame_dev, tables, cfg, scale_gradient,
                             subpixel, robust, phase_lock=lock_period,
@@ -267,6 +272,7 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                              np.asarray(res.z))
 
     done = start_frame - 1
+    loop_exc = None
     try:
         for f, frame, err in frame_source:
             if frame is None:
@@ -303,16 +309,20 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                 os.makedirs(ckpt_dir, exist_ok=True)
                 save_state(os.path.join(ckpt_dir, f"frame_{f}"), state)
             done = f
+    except BaseException as e:
+        loop_exc = e
+        raise
     finally:
         if writer is not None:
-            import sys
             try:
                 summary = writer.close()
                 log.summaries.append({"writer": True, **summary})
             except IOError:
                 # Don't mask an in-flight loop exception with the
-                # writer's failure report.
-                if sys.exc_info()[0] is None:
+                # writer's failure report. (sys.exc_info() inside this
+                # except block would see the IOError itself, so the
+                # loop outcome is tracked explicitly.)
+                if loop_exc is None:
                     raise
 
     if preview and done >= start_frame:

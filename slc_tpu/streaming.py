@@ -408,8 +408,9 @@ def run_streaming(state: TrackerState, frames: Iterable[np.ndarray],
     ``chunk`` > 1 switches to the chunked megastep (``stream_chunks``):
     one dispatch + one sync per K frames, for dispatch-bound host
     links. ``fetch_z`` is the chunked path's result consumer, called
-    with each (k, H, W) z stack (default: stays device-resident;
-    ``sync_every`` and ``fetch`` are ignored in chunked mode).
+    with each (k, H, W) z stack (default: stays device-resident).
+    Per-frame ``fetch``/``sync_every`` do not apply in chunked mode
+    and raise ValueError if passed.
     """
     lat: List[float] = []
     if chunk > 1:
