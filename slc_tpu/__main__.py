@@ -228,6 +228,11 @@ def main(argv=None) -> int:
                       default="xyz",
                       help="per-frame cloud format: reference-format "
                            "ASCII or float32 npz maps (~40x faster)")
+    runp.add_argument("--fast-subpixel", action="store_true",
+                      help="fast sub-pixel tracking on TPU: the stripe "
+                           "parabola fraction rides the packed extremum "
+                           "tournament quantized to 1/128 px (~20% "
+                           "faster step, identical winner)")
     runp.add_argument("--strict-loop", action="store_true",
                       help="reference-style synchronous read->step->"
                            "write loop instead of the streaming "
@@ -374,7 +379,8 @@ def main(argv=None) -> int:
             mode=args.mode,
             save_depth=args.save_depth, preview=args.preview,
             phase_lock=None if ref else lock,
-            out_format=args.out_format, stream=not args.strict_loop)
+            out_format=args.out_format, stream=not args.strict_loop,
+            frac_bits=7 if args.fast_subpixel and not ref else 0)
         last = report.metrics.records[-1] if report.metrics.records else {}
         print(f"done: frames={report.frames_done} "
               f"first_frame_points={report.first_frame_points} "

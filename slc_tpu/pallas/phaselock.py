@@ -147,7 +147,10 @@ def _kernel(scal_ref, frame_hbm, pu_hbm,
     cphi = jnp.cos(phi)
     sphi = jnp.sin(phi)
 
-    # Stage 2: correlations on the core rows.
+    # Stage 2: correlations on the core rows. (A row-stacked variant
+    # sharing one set of lane box passes between the two quadrature
+    # fields measured NEUTRAL on-chip — the kernel's floor is the
+    # transcendentals + DMA, not the box sums.)
     wgt2 = wv_of(rv, bh) * wu                            # (bh, pad_w)
     inv_w2 = _newton_recip(jnp.maximum(wgt2, 1e-6))
     cc = tri(iac * cphi, 0, bh)

@@ -56,7 +56,8 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                phase_lock: "str | float | None" = "auto",
                lock_window: Optional[int] = None,
                out_format: str = "xyz",
-               stream: bool = True) -> RunReport:
+               stream: bool = True,
+               frac_bits: int = 0) -> RunReport:
     """Run the full reference pipeline over a replay dataset.
 
     ``mode`` selects the frame-0 absolute decode: "gray" (the
@@ -81,7 +82,9 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
     read->step->write loop. Fault records, re-anchoring, and
     checkpoint/resume behave identically in both paths (regression-
     tested). ``out_format``: "xyz" reference-format ASCII or "npz"
-    float32 maps.
+    float32 maps. ``frac_bits`` > 0 enables the fused kernel's fast
+    sub-pixel mode on TPU (quantized parabola fraction, ~20% faster
+    step; slc_tpu.pallas.mathx.sliding_extrema).
 
     If the dataset contains anchor groups (``aFrame{f}/``, written by
     ``write_anchor_group``) and ``use_anchors`` is set, the tracker is
@@ -192,7 +195,7 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
     def step(st, frame_dev):
         return dynamic_step(st, frame_dev, tables, cfg, scale_gradient,
                             subpixel, robust, phase_lock=lock_period,
-                            lock_win_u=lock_win)
+                            lock_win_u=lock_win, frac_bits=frac_bits)
 
     # --- dynamic loop (CalculateOther) -------------------------------
     ckpt_dir = os.path.join(out_dir, "ckpt")

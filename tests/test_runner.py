@@ -405,3 +405,27 @@ def test_run_replay_auto_phase_lock(tmp_path):
         errs[name] = float(np.median(np.abs(zi[v] - gi[v])))
     assert errs["locked"] < 0.05, errs
     assert errs["locked"] < 0.5 * errs["free"], errs
+
+
+def test_stream_writer_failure_fails_the_run(tmp_path, monkeypatch):
+    """A failed async cloud write must fail the run (not silently drop
+    frames): AsyncCloudWriter.close() raises and run_replay propagates
+    it when the loop itself completed."""
+    root = str(tmp_path / "ds")
+    _make_dataset(root)
+    out = str(tmp_path / "out")
+
+    from slc_tpu import cloud as cloud_mod
+
+    real = cloud_mod.write_xyz
+
+    def boom(path, x, y, z, mask=None):
+        if "cFrame" in os.path.basename(path):
+            raise IOError("disk full (injected)")
+        return real(path, x, y, z, mask)
+
+    monkeypatch.setattr(cloud_mod, "write_xyz", boom)
+    import pytest
+    with pytest.raises(IOError, match="async cloud writes failed"):
+        run_replay(root, os.path.join(root, "parameters.yml"), out,
+                   CFG, stream=True)
