@@ -228,6 +228,11 @@ def main(argv=None) -> int:
                       default="xyz",
                       help="per-frame cloud format: reference-format "
                            "ASCII or float32 npz maps (~40x faster)")
+    runp.add_argument("--chunk", type=int, default=1,
+                      help="scan K consecutive frames per device "
+                           "dispatch (amortizes per-frame dispatch "
+                           "RPC on remote/tunneled hosts; fault/"
+                           "anchor/checkpoint semantics preserved)")
     runp.add_argument("--fast-subpixel", action="store_true",
                       help="fast sub-pixel tracking on TPU: the stripe "
                            "parabola fraction rides the packed extremum "
@@ -380,7 +385,8 @@ def main(argv=None) -> int:
             save_depth=args.save_depth, preview=args.preview,
             phase_lock=None if ref else lock,
             out_format=args.out_format, stream=not args.strict_loop,
-            frac_bits=7 if args.fast_subpixel and not ref else 0)
+            frac_bits=7 if args.fast_subpixel and not ref else 0,
+            chunk=args.chunk)
         last = report.metrics.records[-1] if report.metrics.records else {}
         print(f"done: frames={report.frames_done} "
               f"first_frame_points={report.first_frame_points} "

@@ -26,7 +26,8 @@ from slc_tpu.dynamic import init_tracker, dynamic_step, reanchor
 from slc_tpu.io.dataset import ReplayDataset
 from slc_tpu.io.opencv_yaml import load_calibration
 from slc_tpu.metrics import MetricsLog, frame_stats, stage
-from slc_tpu.pipeline import (decode_first_frame, decode_heterodyne_frame,
+from slc_tpu.pipeline import (FrameResult, decode_first_frame,
+                              decode_heterodyne_frame,
                               decode_spatial_frame)
 
 
@@ -57,7 +58,8 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                lock_window: Optional[int] = None,
                out_format: str = "xyz",
                stream: bool = True,
-               frac_bits: int = 0) -> RunReport:
+               frac_bits: int = 0,
+               chunk: int = 1) -> RunReport:
     """Run the full reference pipeline over a replay dataset.
 
     ``mode`` selects the frame-0 absolute decode: "gray" (the
@@ -84,7 +86,11 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
     tested). ``out_format``: "xyz" reference-format ASCII or "npz"
     float32 maps. ``frac_bits`` > 0 enables the fused kernel's fast
     sub-pixel mode on TPU (quantized parabola fraction, ~20% faster
-    step; slc_tpu.pallas.mathx.sliding_extrema).
+    step; slc_tpu.pallas.mathx.sliding_extrema). ``chunk`` > 1 (stream
+    mode) scans K consecutive frames per device dispatch
+    (streaming.chunk_step_xyz) — for dispatch-bound host links; fault
+    records, anchors, and checkpoint/resume semantics are preserved
+    (checkpoints land on chunk boundaries).
 
     If the dataset contains anchor groups (``aFrame{f}/``, written by
     ``write_anchor_group``) and ``use_anchors`` is set, the tracker is
@@ -274,6 +280,53 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                 _write_frame(path, np.asarray(res.x), np.asarray(res.y),
                              np.asarray(res.z))
 
+    # Chunked megastep (``chunk`` > 1, stream mode): consecutive
+    # non-anchor frames are scanned in ONE device dispatch
+    # (streaming.chunk_step_xyz), amortizing the per-frame dispatch
+    # RPC that bounds per-frame wall on tunneled/remote hosts. Faults,
+    # anchors and the sequence end flush the pending buffer first, so
+    # per-frame fault records and anchor semantics are unchanged;
+    # checkpoints land on chunk boundaries (frame_idx = last processed
+    # frame — resume semantics identical).
+    chunked = stream and chunk > 1
+    if chunked:
+        from slc_tpu.streaming import chunk_step_xyz
+    chunk_buf: list = []
+
+    def flush():
+        nonlocal state, done
+        if not chunk_buf:
+            return
+        idxs = [cf for cf, _ in chunk_buf]
+        if len(idxs) == chunk:
+            stack = jnp.asarray(np.stack([fr for _, fr in chunk_buf]))
+            with stage("slc/dynamic_chunk", log,
+                       bytes_moved=step_bytes * len(idxs)):
+                state, (zs, xs, ys) = chunk_step_xyz(
+                    state, stack, tables, cfg, scale_gradient,
+                    subpixel, robust, phase_lock=lock_period,
+                    lock_win_u=lock_win, frac_bits=frac_bits)
+                jax.block_until_ready(zs)
+            for j, cf in enumerate(idxs):
+                emit(cf, FrameResult(x=xs[j], y=ys[j], z=zs[j],
+                                     proj_u=None))
+                log.log_frame(cf, frame_stats(zs[j]))
+        else:
+            # Ragged tail / anchor-split partial: single-step path
+            # (no extra chunk-shape compile).
+            for cf, fr in chunk_buf:
+                state, res = step(state, jnp.asarray(fr))
+                jax.block_until_ready(res.z)
+                emit(cf, res)
+                log.log_frame(cf, frame_stats(res.z))
+        if checkpoint_every and any(
+                cf % checkpoint_every == 0 for cf in idxs):
+            os.makedirs(ckpt_dir, exist_ok=True)
+            save_state(os.path.join(ckpt_dir, f"frame_{idxs[-1]}"),
+                       state)
+        done = idxs[-1]
+        chunk_buf.clear()
+
     done = start_frame - 1
     loop_exc = None
     try:
@@ -284,10 +337,18 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                 # file. Failure recovery (absent in the reference,
                 # which proceeds with empty images — CSensorV.cpp:
                 # 122-129): skip the frame, carry the tracker state,
-                # record the fault.
+                # record the fault (buffered frames first, so the
+                # logged state is current).
+                flush()
                 log.log_frame(f, frame_stats(state.z), fault=err)
                 continue
+            if chunked and f not in anchor_set:
+                chunk_buf.append((f, frame))
+                if len(chunk_buf) == chunk:
+                    flush()
+                continue
             if f in anchor_set:
+                flush()
                 # Periodic absolute re-anchoring (SURVEY.md §5): this
                 # frame's output is a fresh absolute decode; the
                 # tracker state is rebuilt from it and the current
@@ -312,6 +373,7 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                 os.makedirs(ckpt_dir, exist_ok=True)
                 save_state(os.path.join(ckpt_dir, f"frame_{f}"), state)
             done = f
+        flush()
     except BaseException as e:
         loop_exc = e
         raise

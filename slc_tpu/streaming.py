@@ -116,6 +116,34 @@ def _chunk_scan(state: TrackerState, frames: jax.Array,
     return jax.lax.scan(body, state, frames)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "scale_gradient", "subpixel",
+                                    "robust", "phase_lock",
+                                    "lock_win_u", "lock_win_v",
+                                    "frac_bits"),
+                   donate_argnames=("state",))
+def chunk_step_xyz(state: TrackerState, frames: jax.Array,
+                   tables: TriangulationTables, cfg: SystemConfig,
+                   scale_gradient: bool = True, subpixel: bool = True,
+                   robust: bool = True, phase_lock=None,
+                   lock_win_u: int = 9, lock_win_v: int = 9,
+                   frac_bits: int = 0
+                   ) -> Tuple[TrackerState, Tuple[jax.Array, ...]]:
+    """K dynamic steps in one dispatch returning the full per-frame
+    outputs (z, x, y) stacked (K, H, W) — the runner's chunked-CLI
+    megastep (``run --chunk``), where every frame's point cloud is
+    written. ``_chunk_scan`` (z only) remains the lighter bench/library
+    variant. State is donated."""
+    def body(s, f):
+        s, res = dynamic_step(s, f, tables, cfg, scale_gradient,
+                              subpixel, robust, phase_lock=phase_lock,
+                              lock_win_u=lock_win_u,
+                              lock_win_v=lock_win_v,
+                              frac_bits=frac_bits)
+        return s, (res.z, res.x, res.y)
+    return jax.lax.scan(body, state, frames)
+
+
 def stream_chunks(state: TrackerState, frames: Iterable[np.ndarray],
                   tables: TriangulationTables, cfg: SystemConfig,
                   chunk: int,

@@ -429,3 +429,55 @@ def test_stream_writer_failure_fails_the_run(tmp_path, monkeypatch):
     with pytest.raises(IOError, match="async cloud writes failed"):
         run_replay(root, os.path.join(root, "parameters.yml"), out,
                    CFG, stream=True)
+
+
+def test_chunked_cli_loop_matches_per_frame(tmp_path):
+    """run_replay(chunk=K) — one device dispatch per K frames — must
+    reproduce the per-frame loop exactly: same per-frame records (incl.
+    injected faults), same cloud files, same terminal state; anchors
+    split chunks without changing semantics."""
+    calib = synthetic_calibration(cam_h=CFG.cam_h, cam_w=CFG.cam_w,
+                                  pro_h=CFG.pro_h, pro_w=CFG.pro_w)
+    scene = synth.render_static_scene(calib, CFG,
+                                      synth.plane_surface(50.0),
+                                      noise_sigma=1.0)
+    frames, zs, _ = synth.render_dynamic_sequence(
+        calib, CFG, 11, z0=50.0, dz_per_frame=0.3, stripe_period=12,
+        noise_sigma=1.0)
+    root = str(tmp_path / "ds")
+    write_replay_dataset(root, scene.gray_images, scene.phase_images,
+                         frames)
+    # An anchor group mid-sequence forces a chunk split.
+    from slc_tpu.io.dataset import write_anchor_group
+    asc = synth.render_static_scene(calib, CFG,
+                                    synth.plane_surface(50.0 + 5 * 0.3),
+                                    noise_sigma=1.0, seed=5)
+    write_anchor_group(root, 5, asc.gray_images, asc.phase_images)
+    save_calibration(os.path.join(root, "parameters.yml"), calib)
+
+    reports = {}
+    for name, k in (("per_frame", 1), ("chunked", 4)):
+        out = str(tmp_path / name)
+        reports[name] = run_replay(
+            root, os.path.join(root, "parameters.yml"), out, CFG,
+            chunk=k, fault_drop_prob=0.25, fault_seed=11,
+            out_format="npz")
+    a = reports["per_frame"].metrics.records
+    b = reports["chunked"].metrics.records
+    assert [r["frame"] for r in a] == [r["frame"] for r in b]
+    assert ([r["frame"] for r in a if "fault" in r]
+            == [r["frame"] for r in b if "fault" in r])
+    assert ([r["frame"] for r in a if r.get("reanchor")]
+            == [r["frame"] for r in b if r.get("reanchor")])
+    for ra, rb in zip(a, b):
+        assert abs(ra["valid_frac"] - rb["valid_frac"]) < 1e-6
+        assert abs(ra["z_mean"] - rb["z_mean"]) < 1e-5
+    fa = sorted(f for f in os.listdir(tmp_path / "per_frame")
+                if f.endswith(".npz"))
+    fb = sorted(f for f in os.listdir(tmp_path / "chunked")
+                if f.endswith(".npz"))
+    assert fa == fb and len(fa) >= 5
+    for f in fa:
+        za = np.load(os.path.join(tmp_path, "per_frame", f))["z"]
+        zb = np.load(os.path.join(tmp_path, "chunked", f))["z"]
+        np.testing.assert_allclose(za, zb, atol=1e-5)
