@@ -313,7 +313,9 @@ def bench_config4():
     K = 16
     _ = run_streaming(fresh_state(), dev_frames, tables, cfg, chunk=K)
     best = None
-    for _i in range(3):
+    # best-of-5: the tunnel's per-RPC latency swings 2-3x hour to hour
+    # and one blocking round trip per chunk is on this path's clock.
+    for _i in range(5):
         _, stc = run_streaming(fresh_state(), dev_frames, tables, cfg,
                                chunk=K)
         if best is None or stc.fps > best.fps:
