@@ -680,8 +680,8 @@ def bench_scaling():
 
     # Best-of-2 per cluster size: single-run CPU wall noise is ~±8%,
     # enough to report a nonsense >1.0 efficiency.
-    t1 = min(run_cluster(1) for _ in range(2))
-    t2 = min(run_cluster(2) for _ in range(2))
+    t1 = min(run_cluster(1) for _ in range(3))
+    t2 = min(run_cluster(2) for _ in range(3))
     eff2 = min(t1 / t2, 1.0)
     emit("c_scaling_efficiency_2proc", round(eff2, 3), "fraction",
          round(eff2 / 0.8, 3), t1_ms=round(t1 * 1e3, 2),

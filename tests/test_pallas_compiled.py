@@ -185,3 +185,36 @@ def test_compiled_phase_lock_matches_xla(rng):
         win_v=9, fov_min=cfg.fov_min, fov_max=cfg.fov_max)
     np.testing.assert_allclose(np.asarray(pu_k), np.asarray(pu_ref),
                                atol=5e-3)
+
+
+def test_compiled_phase_locked_tracking_sequence(rng):
+    """End-to-end locked tracking on the compiled fused path (dynamic
+    step kernel + phase-lock kernel), 12 frames on chip: terminal
+    median z error stays at the per-frame noise level."""
+    import numpy as np
+    from slc_tpu import synth
+    from slc_tpu.calib import synthetic_calibration, build_tables
+    from slc_tpu.config import SystemConfig
+    from slc_tpu.dynamic import init_tracker, dynamic_step
+
+    h, w = 128, 256
+    cfg = SystemConfig(cam_h=h, cam_w=w, pro_h=h, pro_w=640,
+                       gray_bits=5)
+    calib = synthetic_calibration(cam_h=h, cam_w=w, pro_h=h, pro_w=640)
+    tables = build_tables(calib, h, w)
+    frames, z_gt, pu_gt = synth.render_dynamic_sequence(
+        calib, cfg, 12, z0=50.0, dz_per_frame=0.3, stripe_period=12,
+        noise_sigma=1.0)
+    st = init_tracker(jnp.asarray(frames[0]),
+                      jnp.asarray(pu_gt[0], jnp.float32),
+                      jnp.asarray(z_gt[0], jnp.float32), cfg)
+    for f in range(1, 12):
+        st, res = dynamic_step(st, jnp.asarray(frames[f]), tables, cfg,
+                               phase_lock=12.0, lock_win_u=21,
+                               lock_win_v=9, frac_bits=7)
+    z = np.asarray(res.z)
+    r = cfg.reco_window // 2 + 2
+    zi, gi = z[r:-r, r:-r], z_gt[-1][r:-r, r:-r]
+    v = zi > 0
+    assert v.mean() > 0.9
+    assert float(np.median(np.abs(zi[v] - gi[v]))) < 0.05
