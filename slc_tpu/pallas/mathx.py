@@ -220,6 +220,7 @@ def sliding_extrema(vs, window: int, pad_w: int, roll, subpixel: bool,
     # sum's f32 hop and this cast; float input (XLA paths, tests) is
     # cast here exactly as before.
     vsi = vs if integer_vs else vs.astype(jnp.int32)
+    vsi_min = vsi ^ cap        # complement field (the min packing)
     # (1, w) index row: every use broadcasts, so the iota/code/code_f
     # arithmetic runs on one row instead of the full tile.
     coli = jax.lax.broadcasted_iota(jnp.int32, (1, vs.shape[1]), 1)
@@ -273,11 +274,11 @@ def sliding_extrema(vs, window: int, pad_w: int, roll, subpixel: bool,
                       0.0, jnp.float32(fscale)).astype(jnp.int32)
         body = (code << fbits) | q0
         pmax0 = (vsi << (cbits + fbits)) | body
-        pmin0 = ((vsi ^ cap) << (cbits + fbits)) | body
+        pmin0 = (vsi_min << (cbits + fbits)) | body
         carry = False
     else:
         pmax0 = (vsi << cbits) | code
-        pmin0 = ((vsi ^ cap) << cbits) | code
+        pmin0 = (vsi_min << cbits) | code
         carry = subpixel
     frac_leaf = roll(frac0, -r) if carry else None
 
@@ -319,10 +320,10 @@ def sliding_extrema(vs, window: int, pad_w: int, roll, subpixel: bool,
 
     def decode(acc, neg):
         M, frac = acc
-        vali = M >> (cbits + fbits)
-        if neg:
-            vali = vali ^ cap
-        center = vsi == vali                     # center wins any tie
+        # Center-wins-tie: compare the winner's value field against the
+        # pixel's OWN packed value field — for the min family that is
+        # the already-materialized complement, saving the un-xor.
+        center = (M >> (cbits + fbits)) == (vsi_min if neg else vsi)
         if fbits:
             # Single-field linear decode (see the packing comment).
             o = code_f - (M & cf_mask).astype(jnp.float32) * inv_steps
