@@ -198,12 +198,13 @@ def dynamic_step(state: TrackerState, frame: jax.Array,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "scale_gradient", "subpixel",
                                     "robust", "phase_lock", "lock_win_u",
-                                    "lock_win_v"))
+                                    "lock_win_v", "frac_bits"))
 def run_sequence(state: TrackerState, frames: jax.Array,
                  tables: TriangulationTables, cfg: SystemConfig,
                  scale_gradient: bool = True, subpixel: bool = True,
                  robust: bool = True, phase_lock: float = None,
-                 lock_win_u: int = 9, lock_win_v: int = 9
+                 lock_win_u: int = 9, lock_win_v: int = 9,
+                 frac_bits: int = 0
                  ) -> Tuple[TrackerState, FrameResult]:
     """Offline batch variant: scan the tracker over (F, H, W) frames.
     Frame-level parallelism is impossible (P[f] depends on P[f-1],
@@ -211,7 +212,8 @@ def run_sequence(state: TrackerState, frames: jax.Array,
     def body(s, frame):
         return dynamic_step(s, frame, tables, cfg, scale_gradient,
                             subpixel, robust, phase_lock=phase_lock,
-                            lock_win_u=lock_win_u, lock_win_v=lock_win_v)
+                            lock_win_u=lock_win_u, lock_win_v=lock_win_v,
+                            frac_bits=frac_bits)
     return jax.lax.scan(body, state, frames)
 
 
