@@ -27,7 +27,7 @@ from slc_tpu.ops.unwrap_spatial import (wrap_to_half, build_mg_levels,
                                         vcycle as _vcycle_single,
                                         _fcg2 as _fcg2_single)
 from slc_tpu.parallel.halo import halo_exchange
-from slc_tpu.parallel.mesh import SCAN, TILE_Y, TILE_X
+from slc_tpu.parallel.mesh import TILE_Y, TILE_X
 
 # Reduce over the tile axes only: the inputs are invariant along the
 # scan axis (psum over an axis a value does not vary on is an error).

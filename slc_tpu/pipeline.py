@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ from slc_tpu.calib import TriangulationTables
 from slc_tpu.config import SystemConfig, HeterodyneConfig
 from slc_tpu.ops.filters import bilateral_filter
 from slc_tpu.ops.gray import decode_gray
-from slc_tpu.ops.phase import decode_phase, phase_sincos, modulation
+from slc_tpu.ops.phase import decode_phase, modulation
 from slc_tpu.ops.triangulate import triangulate_xyz
 from slc_tpu.ops.unwrap import gray_assisted_merge, heterodyne_unwrap
 from slc_tpu.ops.unwrap_spatial import unwrap_spatial
