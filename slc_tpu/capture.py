@@ -104,7 +104,7 @@ def capture_sequence(sensor: Sensor, pats: Iterable[np.ndarray],
             try:
                 out.append(sensor.capture())
                 break
-            except (IOError, OSError) as e:       # pragma: no cover
+            except (IOError, OSError) as e:
                 last_err = e
         else:
             raise IOError(f"capture failed after {retries} tries: "

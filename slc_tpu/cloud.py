@@ -225,10 +225,26 @@ class AsyncCloudWriter:
         self._t.start()
 
     def submit(self, path: str, x, y, z) -> None:
+        """Enqueue one frame's maps for background serialization.
+
+        INVARIANT (donation safety): the caller's tracker state is
+        donated, so the *contents* of ``x``/``y``/``z`` must be pinned
+        before the caller dispatches its next donated step. For JAX
+        device arrays this method starts ``copy_to_host_async()``
+        synchronously here — the D2H copy is ordered before any later
+        dispatch can reuse the buffer. Anything else (numpy, lists,
+        array-likes without the async-copy attribute) is materialized
+        eagerly with ``np.asarray`` for the same reason: deferring the
+        copy to the writer thread would race the donor (ADVICE r4).
+        """
+        pinned = []
         for a in (x, y, z):
             if hasattr(a, "copy_to_host_async"):
                 a.copy_to_host_async()
-        self._q.put((path, x, y, z))
+                pinned.append(a)
+            else:
+                pinned.append(np.asarray(a))
+        self._q.put((path, *pinned))
 
     def _run(self) -> None:
         import time

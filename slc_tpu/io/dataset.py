@@ -239,7 +239,10 @@ class ReplayDataset:
                         yield i, next(it), None
                     except StopIteration:
                         return
-                    except IOError as e:
+                    except (IOError, OSError, ValueError) as e:
+                        # Same tuple as the Python paths: the native
+                        # wrapper reports decode failures as IOError,
+                        # but defensive parity costs nothing (ADVICE r4).
                         yield i, None, str(e)
             finally:
                 it.close()
@@ -247,17 +250,32 @@ class ReplayDataset:
         q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
         stop_evt = threading.Event()
 
+        def put(item):
+            # Bounded-blocking put that rechecks stop_evt: if the
+            # consumer abandons the generator while the queue is full,
+            # a bare q.put would block this worker forever (leaking a
+            # daemon thread per abandoned iteration, ADVICE r4).
+            while not stop_evt.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for i in range(start, stop):
                     if stop_evt.is_set():
                         return
                     try:
-                        q.put((i, self.frame(i), None))
+                        item = (i, self.frame(i), None)
                     except (IOError, OSError, ValueError) as e:
-                        q.put((i, None, str(e)))
+                        item = (i, None, str(e))
+                    if not put(item):
+                        return
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -275,6 +293,17 @@ class ReplayDataset:
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = threading.Event()
 
+        def put(item):
+            # See indexed_frames: recheck stop so an abandoned
+            # generator can't strand this worker in a full-queue put.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for i in range(start, self.frame_count):
@@ -288,9 +317,10 @@ class ReplayDataset:
                         # reports both as IOError). Skip, matching the
                         # native path.
                         continue
-                    q.put(item)
+                    if not put(item):
+                        return
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

@@ -66,3 +66,42 @@ def test_capture_cli_dataset_reconstructs(tmp_path):
     assert report.frames_done == 2
     pts = np.loadtxt(os.path.join(out, "iFrame.txt"))
     assert (np.abs(pts[:, 2] - 50.0) < 1.0).mean() > 0.99
+
+
+class _FlakySensor:
+    """Fails the first ``fail_n`` captures after each project() with
+    IOError — the reference camera's snapshot failure mode its retry
+    loop exists for (CCamera.cpp:97-107)."""
+
+    def __init__(self, img, fail_n):
+        self.img = img
+        self.fail_n = fail_n
+        self.attempts = 0
+
+    def project(self, pattern):
+        self._left = self.fail_n
+
+    def capture(self):
+        self.attempts += 1
+        if self._left > 0:
+            self._left -= 1
+            raise IOError("snapshot failed")
+        return self.img
+
+
+def test_capture_retries_then_succeeds():
+    img = np.full((4, 4), 7, np.uint8)
+    s = _FlakySensor(img, fail_n=3)
+    got = capture_sequence(s, [None, None], retries=30)
+    assert len(got) == 2
+    np.testing.assert_array_equal(got[0], img)
+    # 3 failures + 1 success per pattern.
+    assert s.attempts == 8
+
+
+def test_capture_retries_exhausted():
+    import pytest
+    s = _FlakySensor(np.zeros((4, 4), np.uint8), fail_n=99)
+    with pytest.raises(IOError, match="after 5 tries"):
+        capture_sequence(s, [None], retries=5)
+    assert s.attempts == 5
