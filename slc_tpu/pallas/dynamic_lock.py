@@ -1,0 +1,373 @@
+"""Fully-fused PHASE-LOCKED dynamic-step Pallas kernel.
+
+One kernel per row block executes the whole closed-loop tracking frame —
+the reference's open-loop per-frame body (CCalculation.cpp:221-316,
+652-660) PLUS the phase-lock correction the reference fundamentally
+lacks — in a single HBM pass:
+
+  box-sum -> windowed extrema (+ sub-pixel) -> deltaP select -> 3x3
+  blur -> gradient scale -> P integration -> carrier demodulation
+  (triangle lock-in + per-pixel arccos refinement) -> P phase snap ->
+  rational triangulation -> back-projection
+
+Round 4 ran this as TWO kernels (pallas/dynamic_step.py then
+pallas/phaselock.py): 0.178 + 0.41 ms at 2 MP, with the intermediate
+P map and the re-read frame costing an extra ~45 MB of HBM traffic and
+the lock kernel sitting at ~8x its DMA floor (VERDICT r4 item 1). Here
+the integrated prediction P' never leaves VMEM: the stripe-tracking
+stage computes P' on ``win_v - 1`` extra halo rows per side — exactly
+the rows the lock-in triangle filters consume — so the demodulation
+reads it in place. Per-pixel traffic drops to the true step I/O: frame
+(u8, read twice across block halos) + 3 prev-state f32 reads + 6 f32
+writes.
+
+Demod math parity with ops.demod.stripe_phase_correction (same triangle
+kernel, same exact in-image tap normalization at borders), with two
+documented kernel-budget substitutions: divides/normalizations use the
+Newton-refined fast reciprocal (~2^-16 relative) and the per-pixel
+arccos refinement uses mathx.acos (~7e-5 rad) instead of the exact
+atan2 identity — both orders of magnitude below the estimator's own
+noise and the reference's cvFastArctan LUT (~0.3 deg,
+CDecodePhase.cpp:67).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from slc_tpu.pallas.mathx import (acos as _acos, atan2 as _atan2,
+                                  lin_coeffs, newton_recip as _nrecip,
+                                  sincos_turns, sliding_extrema,
+                                  sliding_lane_sum, sliding_row_sum)
+
+_TWO_PI = 2.0 * math.pi
+
+
+def _kernel(scal_ref, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
+            pu_out, sw_out, sb_out, z_out, x_out, y_out,
+            f_scr, pw_scr, pb_scr, pu_scr, sem, *,
+            window: int, subpixel: bool, frac_bits: int,
+            scale_gradient: bool, robust: bool,
+            period: float, win_u: int, win_v: int, amp_floor: float,
+            block_h: int, img_h: int, img_w: int, pad_w: int,
+            fpad: int, spad: int, f_rows: int, s_rows: int,
+            ablate: str):
+    r = window // 2
+    rv = win_v - 1                      # halo per triangle application
+    i = pl.program_id(0)
+    bh = block_h
+    n_strip = bh + 2 * (rv + 1)         # stripe-tracking domain
+    n_ext = bh + 2 * rv                 # P' / iac domain (lock halo)
+
+    # Input DMA with one-block lookahead on a SINGLE buffer: the
+    # kernel is VPU-bound (~25 us of compute vs ~3 us of reads per
+    # block at 2 MP), and every scratch ref is consumed into values by
+    # the end of stage B — so block i+1's copies are issued right after
+    # those reads (see start_next below) and ride under the lock-in
+    # stage's compute. A full double buffer would hide stage A/B too,
+    # but 2x input scratch pushes past the 16 MB VMEM scoped limit at
+    # block_h=64, and a smaller block (32) costs more in per-block
+    # overhead than the ~3 us it hides.
+    def start(j):
+        pltpu.make_async_copy(frame_hbm.at[pl.ds(j * bh, f_rows), :],
+                              f_scr, sem.at[0]).start()
+        pltpu.make_async_copy(pw_hbm.at[pl.ds(j * bh, s_rows), :],
+                              pw_scr, sem.at[1]).start()
+        pltpu.make_async_copy(pb_hbm.at[pl.ds(j * bh, s_rows), :],
+                              pb_scr, sem.at[2]).start()
+        pltpu.make_async_copy(pu_hbm.at[pl.ds(j * bh, s_rows), :],
+                              pu_scr, sem.at[3]).start()
+
+    @pl.when(i == 0)
+    def _():
+        start(0)
+
+    pltpu.make_async_copy(frame_hbm.at[pl.ds(i * bh, f_rows), :],
+                          f_scr, sem.at[0]).wait()
+    pltpu.make_async_copy(pw_hbm.at[pl.ds(i * bh, s_rows), :],
+                          pw_scr, sem.at[1]).wait()
+    pltpu.make_async_copy(pb_hbm.at[pl.ds(i * bh, s_rows), :],
+                          pb_scr, sem.at[2]).wait()
+    pltpu.make_async_copy(pu_hbm.at[pl.ds(i * bh, s_rows), :],
+                          pu_scr, sem.at[3]).wait()
+
+    def start_next():
+        @pl.when(i + 1 < pl.num_programs(0))
+        def _():
+            start(i + 1)
+
+    def lroll(a, k):
+        return pltpu.roll(a, k % pad_w, axis=1)
+
+    # ---- Stage A: stripe tracking on the strip domain ---------------
+    # Strip row s = global row i*bh - (rv+1) + s = frame scratch row
+    # fpad - (rv+1) + s = state scratch row spad - (rv+1) + s.
+    f = f_scr[:].astype(jnp.int32)
+    vs = sliding_row_sum(f, fpad - (rv + 1) - r, n_strip, window)
+    row0 = i * bh - (rv + 1)
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (n_strip, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, pad_w), 1)
+    # Vector masks, broadcast at use: full-tile iotas are a measured
+    # Mosaic cost (tpu-lowering note); the AND still materializes per
+    # use, but the iota/compare arithmetic runs on one row/column.
+    interior = ((rows >= r) & (rows < img_h - r)
+                & (cols >= r) & (cols < img_w - r))
+    vs = jnp.where(interior, vs, 0)
+    sw, sb = sliding_extrema(
+        vs, window, pad_w, lambda a, k: lroll(a, -k), subpixel,
+        frac_bits, recip=lambda x: pl.reciprocal(x, approx=True))
+    sw = jnp.where(interior, sw, 0.0)
+    sb = jnp.where(interior, sb, 0.0)
+
+    # ---- Stage B: deltaP -> blur -> P integration on the EXT domain -
+    # Ext row k = global row i*bh - rv + k = strip row k + 1.
+    so = spad - (rv + 1)                # state scratch row of strip 0
+    d_b = pb_scr[so:so + n_strip, :] - sb
+    d_w = pw_scr[so:so + n_strip, :] - sw
+    dp1 = jnp.where(jnp.abs(d_b) < jnp.abs(d_w), d_b, d_w)
+    if robust:
+        agree = jnp.abs(d_b - d_w) <= 1.0
+        dp1 = jnp.where(agree, 0.5 * (d_b + d_w), dp1)
+    acc = jnp.zeros((n_ext, pad_w), jnp.float32)
+    for dy in (-1, 0, 1):
+        row_slice = dp1[1 + dy:1 + dy + n_ext, :]
+        acc = acc + row_slice + lroll(row_slice, 1) + lroll(row_slice, -1)
+    dp = acc * jnp.float32(1.0 / 9.0)
+
+    pu_ext = pu_scr[so + 1:so + 1 + n_ext, :]
+    f32 = f.astype(jnp.float32)
+    # Every scratch ref has now been consumed into values; prefetch the
+    # next block's inputs under the remaining (dominant) compute.
+    start_next()
+    if scale_gradient:
+        g = 0.5 * (lroll(pu_ext, -1) - lroll(pu_ext, 1))
+        dp = dp * jnp.clip(g, 0.2, 5.0)
+    pu_new = pu_ext + dp                # CCalculation.cpp:652-660
+    if ablate == "track":
+        pu_out[:] = pu_new[rv:rv + bh, :pu_out.shape[1]]
+        for o in (sw_out, sb_out, z_out, x_out, y_out):
+            o[:] = pu_new[rv:rv + bh, :pu_out.shape[1]]
+        return
+
+    # ---- Stage C: phase-lock demodulation (ops.demod parity) --------
+    colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, pad_w), 1)
+               < img_w).astype(jnp.float32)
+    # Row masks in FRAME scratch coordinates (scratch row s = global
+    # i*bh - fpad + s); the DC triangle consumes rows
+    # [fpad - 2rv, fpad - 2rv + n_ext + 2rv).
+    rows_f = (i * bh - fpad
+              + jax.lax.broadcasted_iota(jnp.int32, (f_rows, 1), 0))
+    rowmask_f = ((rows_f >= 0) & (rows_f < img_h)).astype(jnp.float32)
+
+    def lane_tri(x):
+        return sliding_lane_sum(sliding_lane_sum(x, win_u, pad_w,
+                                                 colmask, lroll),
+                                win_u, pad_w, colmask, lroll)
+
+    def row_tri(x, base, n_out):
+        return sliding_row_sum(
+            sliding_row_sum(x, base, n_out + rv, win_v), 0, n_out, win_v)
+
+    def tri(x, base, n_out):
+        # Separable, so ROW passes first: they collapse the halo rows
+        # (n_out + 2rv -> n_out) before the lane passes — which cost
+        # ~3x as much per element (roll-permute bound) — run.
+        return lane_tri(row_tri(x, base, n_out))
+
+    # Border normalization as RANK-1 reciprocals: the separable weight
+    # is wv (rows) x wu (lanes), so 1/w = recip(wv) (x) recip(wu) — two
+    # vector reciprocals instead of a full-tile newton_recip (the
+    # standalone kernel's form; ~4 full-tile ops saved per use).
+    wu = lane_tri(colmask)                               # (1, pad_w)
+    inv_wu = _nrecip(jnp.maximum(wu, jnp.float32(1e-6)))
+
+    # DC on the ext domain: output k centered on frame scratch row
+    # fpad - rv + k -> row_tri base = fpad - 2rv.
+    wv1 = row_tri(rowmask_f, fpad - 2 * rv, n_ext)       # (n_ext, 1)
+    inv_wv1 = _nrecip(jnp.maximum(wv1, jnp.float32(1e-6)))
+    dc = tri(f32, fpad - 2 * rv, n_ext) * inv_wv1 * inv_wu
+    f_mid = f32[fpad - rv:fpad - rv + n_ext, :]
+    iac = (f_mid - dc) * rowmask_f[fpad - rv:fpad - rv + n_ext, :]
+
+    pu_mid = pu_new * colmask
+    # One shared range reduction for the quadrature pair (the angle is
+    # pu in TURNS of the stripe period).
+    cphi, sphi = sincos_turns(pu_mid * jnp.float32(1.0 / period))
+
+    # Correlations on the core rows: output j centered on ext row
+    # j + rv -> row_tri base = 0 over the ext-domain fields.
+    wv2 = row_tri(rowmask_f[fpad - rv:, :1], 0, bh)      # (bh, 1)
+    inv_wv2 = _nrecip(jnp.maximum(wv2, jnp.float32(1e-6)))
+    if ablate == "dc":
+        pu_out[:] = (iac + cphi + sphi)[rv:rv + bh, :pu_out.shape[1]]
+        for o in (sw_out, sb_out, z_out, x_out, y_out):
+            o[:] = pu_out[:]
+        return
+    cc = tri(iac * cphi, 0, bh)
+    ss = tri(iac * sphi, 0, bh)
+    if ablate == "corr":
+        pu_out[:] = (cc + ss)[:, :pu_out.shape[1]]
+        for o in (sw_out, sb_out, z_out, x_out, y_out):
+            o[:] = pu_out[:]
+        return
+    # amp via native rsqrt: amp = sqrt(s2)/w = s2 * rsqrt(s2) / w, and
+    # 1/amp = w * rsqrt(s2) — no sqrt-then-reciprocal chain.
+    s2 = jnp.maximum(cc * cc + ss * ss, jnp.float32(1e-12))
+    rs = jax.lax.rsqrt(s2)
+    amp = (s2 * rs) * inv_wv2 * inv_wu
+    dphi = _atan2(-ss, cc, bounded=True, recip=_nrecip)
+
+    # Per-pixel arccos refinement (ops.demod per_pixel semantics);
+    # 1/amp = (wv2 (x) wu) * rsqrt(s2), again rank-1.
+    iac_core = iac[rv:rv + bh, :]
+    inv_amp = (wv2 * wu) * rs
+    cospx = jnp.clip(iac_core * jnp.float32(0.5) * inv_amp, -1.0, 1.0)
+    phimag = _acos(cospx)
+    pu_core = pu_mid[rv:rv + bh, :]
+    phi_ref = pu_core * jnp.float32(_TWO_PI / period) + dphi
+
+    def wrap(x):
+        return x - jnp.float32(_TWO_PI) * jnp.round(
+            x * jnp.float32(1.0 / _TWO_PI))
+
+    d_pos = wrap(phimag - phi_ref)
+    d_neg = wrap(-phimag - phi_ref)
+    d_px = jnp.where(jnp.abs(d_pos) <= jnp.abs(d_neg), d_pos, d_neg)
+    conf = 1.0 - cospx * cospx
+    dpl = (dphi + conf * d_px) * jnp.float32(period / _TWO_PI)
+    ok = (amp > jnp.float32(amp_floor)) & (pu_core > 0)
+    pu_fin = pu_core + jnp.where(ok, dpl, 0.0)
+
+    # ---- Stage D: triangulation + back-projection -------------------
+    a_s = scal_ref[0, 0]
+    b_s = scal_ref[0, 1]
+    fx = scal_ref[0, 2]
+    fy = scal_ref[0, 3]
+    cx = scal_ref[0, 4]
+    cy = scal_ref[0, 5]
+    fov_min = scal_ref[0, 6]
+    fov_max = scal_ref[0, 7]
+    cu, cv, c0 = scal_ref[0, 8], scal_ref[0, 9], scal_ref[0, 10]
+    du, dv, d0 = scal_ref[0, 11], scal_ref[0, 12], scal_ref[0, 13]
+    out_w = pu_out.shape[1]
+    ucol = jax.lax.broadcasted_iota(jnp.int32, (1, pad_w), 1
+                                    ).astype(jnp.float32)
+    vrow = (i * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, 1), 0)
+            ).astype(jnp.float32)
+    c_blk = cu * ucol + (cv * vrow + c0)
+    d_blk = du * ucol + (dv * vrow + d0)
+    denom = c_blk - d_blk * pu_fin
+    z = (b_s * pu_fin - a_s) * _nrecip(denom)
+    z = jnp.where((pu_fin == 0) | (z < fov_min) | (z > fov_max), 0.0, z)
+
+    pu_out[:] = pu_fin[:, :out_w]
+    sw_out[:] = sw[rv + 1:rv + 1 + bh, :out_w]
+    sb_out[:] = sb[rv + 1:rv + 1 + bh, :out_w]
+    z_out[:] = z[:, :out_w]
+    x_out[:] = (z * ((ucol - cx) * (1.0 / fx)))[:, :out_w]
+    y_out[:] = (z * ((vrow - cy) * (1.0 / fy)))[:, :out_w]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "subpixel", "scale_gradient",
+                                    "robust", "fov_min", "fov_max",
+                                    "period", "win_u", "win_v",
+                                    "amp_floor", "block_h", "frac_bits",
+                                    "interpret", "ablate"))
+def dynamic_step_lock_pallas(frame: jax.Array, prev_sw: jax.Array,
+                             prev_sb: jax.Array, prev_pu: jax.Array,
+                             c: jax.Array, d: jax.Array,
+                             scalars: jax.Array, *,
+                             window: int = 21, subpixel: bool = True,
+                             scale_gradient: bool = True,
+                             robust: bool = True, fov_min: float = 10.0,
+                             fov_max: float = 100.0,
+                             period: float = 12.0, win_u: int = 21,
+                             win_v: int = 9, amp_floor: float = 8.0,
+                             block_h: int = 64, frac_bits: int = 0,
+                             interpret: bool = False, ablate: str = ""
+                             ) -> Tuple[jax.Array, ...]:
+    """Fused phase-locked dynamic step: ONE HBM pass for the whole
+    closed-loop frame. Arguments as in ``dynamic_step_pallas`` plus the
+    lock parameters of ``phase_lock_pallas``. Returns
+    (proj_u_locked, strip_w', strip_b', z, x, y), each (H, W) f32.
+
+    ``ablate`` (profiling only; outputs are garbage): truncate the
+    kernel after a stage ("track" | "dc" | "corr") so device timing
+    isolates per-stage cost — the measured-floor methodology of
+    PERF.md's roofline tables."""
+    r = window // 2
+    rv = win_v - 1
+    h, w = frame.shape
+    # Lane pad: >= 2*win_u gap keeps the lane-box wrap contamination
+    # away from in-image reads (see sliding_lane_sum).
+    pad_w = -(-(w + 2 * win_u) // 128) * 128
+    hb = -(-h // block_h) * block_h
+
+    # Frame halo: max(stripe needs rv+1+r above the strip domain, DC
+    # triangle needs 2rv above the ext domain).
+    fpad = max(rv + 1 + r, 2 * rv)
+    spad = rv + 1
+    f_rows = -(-(block_h + 2 * fpad) // 32) * 32
+    s_rows = -(-(block_h + 2 * spad) // 8) * 8
+
+    f_pad = jnp.pad(frame, ((fpad, (hb - h) + f_rows - block_h - fpad),
+                            (0, pad_w - w)))
+    def pad_state(x):
+        return jnp.pad(x.astype(jnp.float32),
+                       ((spad, (hb - h) + s_rows - block_h - spad),
+                        (0, pad_w - w)))
+    pw_pad = pad_state(prev_sw)
+    pb_pad = pad_state(prev_sb)
+    pu_pad = pad_state(prev_pu)
+
+    cu, cv, c0 = lin_coeffs(c)
+    du, dv, d0 = lin_coeffs(d)
+    scal16 = jnp.concatenate([
+        scalars[0, :6],
+        jnp.array([fov_min, fov_max], jnp.float32),
+        jnp.stack([cu, cv, c0, du, dv, d0]).astype(jnp.float32),
+        jnp.zeros((2,), jnp.float32)]).reshape(1, 16)
+
+    kernel = functools.partial(
+        _kernel, window=window, subpixel=subpixel, frac_bits=frac_bits,
+        scale_gradient=scale_gradient, robust=robust,
+        period=float(period), win_u=win_u, win_v=win_v,
+        amp_floor=float(amp_floor), block_h=block_h, img_h=h, img_w=w,
+        pad_w=pad_w, fpad=fpad, spad=spad, f_rows=f_rows, s_rows=s_rows,
+        ablate=ablate)
+
+    out_spec = pl.BlockSpec((block_h, w), lambda i, s: (i, 0),
+                            memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(hb // block_h,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # frame (padded)
+            pl.BlockSpec(memory_space=pl.ANY),   # prev strip_w
+            pl.BlockSpec(memory_space=pl.ANY),   # prev strip_b
+            pl.BlockSpec(memory_space=pl.ANY),   # prev proj_u
+        ],
+        out_specs=(out_spec,) * 6,
+        scratch_shapes=[
+            pltpu.VMEM((f_rows, pad_w), frame.dtype),
+            pltpu.VMEM((s_rows, pad_w), jnp.float32),
+            pltpu.VMEM((s_rows, pad_w), jnp.float32),
+            pltpu.VMEM((s_rows, pad_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(shp,) * 6,
+        interpret=interpret,
+    )(scal16, f_pad, pw_pad, pb_pad, pu_pad)

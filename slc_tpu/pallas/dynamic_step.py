@@ -78,8 +78,11 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
     vs = sliding_row_sum(f, OFF, n_strip, window)
 
     row0 = i * bh - 1
-    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (n_strip, pad_w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n_strip, pad_w), 1)
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (n_strip, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, pad_w), 1)
+    # Vector masks, broadcast at use: full-tile iotas are a measured
+    # Mosaic cost (tpu-lowering note); the AND still materializes per
+    # use, but the iota/compare arithmetic runs on one row/column.
     interior = ((rows >= r) & (rows < img_h - r)
                 & (cols >= r) & (cols < img_w - r))
     vs = jnp.where(interior, vs, 0)

@@ -93,6 +93,83 @@ def atan2(y, x, bounded: bool = False, recip=None):
     return jnp.where(y < 0, -r, r)
 
 
+def acos(x):
+    """Minimax arccos on [-1, 1] (Abramowitz & Stegun 4.4.45 form):
+    acos(y) = sqrt(1-y) * poly3(y) for y in [0, 1], reflected for
+    negative arguments; |err| <= 6.8e-5 rad. Mosaic lowers sqrt but not
+    acos; the exact-identity alternative atan2(sqrt(1-x^2), x) costs a
+    full octant-reduced arctangent (~17 VPU ops) where this is 7 — used
+    on the phase-lock per-pixel refinement path, where 7e-5 rad is
+    ~1e-4 px of fringe (far below the estimator's noise)."""
+    y = jnp.abs(x)
+    p = jnp.float32(-0.0187293)
+    p = p * y + jnp.float32(0.0742610)
+    p = p * y - jnp.float32(0.2121144)
+    p = p * y + jnp.float32(1.5707288)
+    r = jax.lax.sqrt(jnp.maximum(1.0 - y, 0.0)) * p
+    return jnp.where(x < 0, jnp.float32(_PI) - r, r)
+
+
+def sincos_turns(t):
+    """(cos, sin) of 2*pi*t with one shared range reduction.
+
+    Mosaic lowers jax.lax.sin/cos as two independent full range
+    reductions (~0.05 ms for the pair over 2 MP); the phase-lock kernel
+    needs both of the SAME angle, and its angles arrive naturally in
+    turns (pu / period). Quadrant folding + degree-7/6 minimax
+    polynomials on [-pi/4, pi/4]: |err| < 1e-7 — far below the kernel's
+    documented ~2^-16 reciprocal budget. |t| must be < 2^22 (f32 round
+    loses the fraction beyond that; tracked maps are projector columns,
+    |t| < 2^11)."""
+    a = t * jnp.float32(4.0)
+    k = jnp.round(a)
+    x = (a - k) * jnp.float32(0.5 * _PI)        # [-pi/4, pi/4]
+    z = x * x
+    # sin: x + x*z*(s1 + z*(s2 + z*s3)) ; cos: 1 + z*(c1 + z*(c2 + z*c3))
+    s = jnp.float32(-1.9515296e-4)
+    s = s * z + jnp.float32(8.3321608e-3)
+    s = s * z - jnp.float32(1.6666654e-1)
+    s = s * z * x + x
+    c = jnp.float32(-1.3585908e-3)
+    c = c * z + jnp.float32(4.1655926e-2)
+    c = c * z - jnp.float32(4.9999997e-1)
+    c = c * z + jnp.float32(1.0)
+    ki = k.astype(jnp.int32)
+    odd = (ki & 1) != 0
+    flip = (ki & 2) != 0
+    cosv = jnp.where(odd, -s, c)
+    sinv = jnp.where(odd, c, s)
+    cosv = jnp.where(flip, -cosv, cosv)
+    sinv = jnp.where(flip, -sinv, sinv)
+    return cosv, sinv
+
+
+def sliding_lane_sum(x, win: int, pad_w: int, colmask, roll):
+    """Centered lane-axis sliding box sum by power-of-two roll doubling.
+
+    ``roll(a, k)`` must wrap (pltpu.roll in kernels); the zero pad
+    region is re-masked with ``colmask`` after combining (rolls wrap,
+    and the pad must stay zero for a following pass). Callers must keep
+    a pad gap >= 2*win lanes between the image and the wrap boundary so
+    the contaminated lanes never reach an in-image read."""
+    sums = {1: x}
+    p = 1
+    while 2 * p <= win:
+        prev = sums[p]
+        sums[2 * p] = prev + roll(prev, (-p) % pad_w)
+        p *= 2
+    out = None
+    off = 0
+    while p >= 1:
+        if win & p:
+            seg = sums[p] if off == 0 else roll(sums[p], (-off) % pad_w)
+            out = seg if out is None else out + seg
+            off += p
+        p //= 2
+    # Center (start -> center alignment) and re-mask the pad.
+    return roll(out, win // 2) * colmask
+
+
 def _extrema_scan(vs, r, roll, subpixel):
     """Linear-scan windowed extrema (the reference's literal loop,
     CCalculation.cpp:828-891): center-initialized, strict-inequality

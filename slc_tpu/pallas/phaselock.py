@@ -91,24 +91,10 @@ def _kernel(scal_ref, frame_hbm, pu_hbm,
                < img_w).astype(jnp.float32)
 
     def box_lanes(x, win):
-        """Centered lane-axis box sum; pad lanes re-zeroed (rolls
-        wrap, and the pad must stay zero for the next pass)."""
-        sums = {1: x}
-        p = 1
-        while 2 * p <= win:
-            prev = sums[p]
-            sums[2 * p] = prev + pltpu.roll(prev, (-p) % pad_w, axis=1)
-            p *= 2
-        out = None
-        off = 0
-        while p >= 1:
-            if win & p:
-                seg = pltpu.roll(sums[p], (-off) % pad_w, axis=1)
-                out = seg if out is None else out + seg
-                off += p
-            p //= 2
-        # Center (start -> center alignment) and re-mask the pad.
-        return pltpu.roll(out, win // 2, axis=1) * colmask
+        from slc_tpu.pallas.mathx import sliding_lane_sum
+        return sliding_lane_sum(
+            x, win, pad_w, colmask,
+            lambda a, k: pltpu.roll(a, k % pad_w, axis=1))
 
     def tri(x, base, n_out):
         """Separable triangle sum: box(win) twice per axis; rows

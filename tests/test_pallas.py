@@ -2,6 +2,7 @@
 compiled TPU path is exercised by bench/TPU runs)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -332,3 +333,69 @@ def test_pallas_phase_lock_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(x_k), np.asarray(xr),
                                atol=4e-3)
     assert np.all(np.asarray(pu_k)[:, 42:46] == pred[:, 42:46])
+
+
+def test_pallas_fused_locked_step_matches_xla(rng):
+    """The ONE-pass phase-locked dynamic step (stripe track + deltaP +
+    integrate + demod correction + re-triangulation fused,
+    pallas/dynamic_lock.py) must match the composite XLA path
+    (ops.stripe + ops.demod + ops.triangulate) in interpreter mode —
+    including the block-halo recomputation of P' that feeds the lock-in
+    filters (any seam would show at block boundaries)."""
+    from slc_tpu.config import SystemConfig
+    from slc_tpu.calib import synthetic_calibration, build_tables
+    from slc_tpu import synth
+    from slc_tpu.dynamic import init_tracker, dynamic_step
+    from slc_tpu.pallas.dynamic_lock import dynamic_step_lock_pallas
+
+    h, w = 96, 160
+    cfg = SystemConfig(cam_h=h, cam_w=w, pro_h=h, pro_w=640, gray_bits=5)
+    calib = synthetic_calibration(cam_h=h, cam_w=w, pro_h=h, pro_w=640)
+    tables = build_tables(calib, h, w)
+    frames, z_gt, pu_gt = synth.render_dynamic_sequence(
+        calib, cfg, 2, stripe_period=12, noise_sigma=1.0)
+    st = init_tracker(jnp.asarray(frames[0]),
+                      jnp.asarray(pu_gt[0], jnp.float32),
+                      jnp.asarray(z_gt[0], jnp.float32), cfg,
+                      use_pallas=False)
+    scal = jnp.stack([tables.a, tables.b, tables.fx, tables.fy,
+                      tables.cx, tables.cy, jnp.float32(cfg.fov_min),
+                      jnp.float32(cfg.fov_max)]).reshape(1, 8)
+    pu_k, sw_k, sb_k, z_k, x_k, y_k = dynamic_step_lock_pallas(
+        jnp.asarray(frames[1]), st.strip_w, st.strip_b, st.proj_u,
+        tables.c, tables.d, scal, window=cfg.reco_window,
+        fov_min=cfg.fov_min, fov_max=cfg.fov_max, period=12.0,
+        win_u=21, win_v=9, block_h=32, interpret=True)
+    jax.block_until_ready(pu_k)
+    st2, res2 = dynamic_step(st, jnp.asarray(frames[1]), tables, cfg,
+                             use_pallas=False, phase_lock=12.0,
+                             lock_win_u=21, lock_win_v=9)
+    # Budget: Newton reciprocals (~2^-16), sincos_turns (~5e-7),
+    # mathx.acos (~7e-5 rad) — documented in the kernel header.
+    np.testing.assert_allclose(np.asarray(pu_k), np.asarray(res2.proj_u),
+                               atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(sw_k),
+                                  np.asarray(st2.strip_w))
+    np.testing.assert_array_equal(np.asarray(sb_k),
+                                  np.asarray(st2.strip_b))
+    np.testing.assert_allclose(np.asarray(z_k), np.asarray(res2.z),
+                               atol=4e-3)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(res2.x),
+                               atol=4e-3)
+
+
+def test_mathx_sincos_turns(rng):
+    from slc_tpu.pallas.mathx import sincos_turns
+    t = jnp.asarray(rng.uniform(-500, 500, 4096).astype(np.float32))
+    c, s = sincos_turns(t)
+    a = 2.0 * np.pi * np.asarray(t, np.float64)
+    np.testing.assert_allclose(np.asarray(c), np.cos(a), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(s), np.sin(a), atol=2e-6)
+
+
+def test_mathx_acos(rng):
+    from slc_tpu.pallas.mathx import acos
+    x = jnp.asarray(np.linspace(-1.0, 1.0, 4097).astype(np.float32))
+    got = np.asarray(acos(x))
+    np.testing.assert_allclose(got, np.arccos(np.asarray(x, np.float64)),
+                               atol=1e-4)
