@@ -739,9 +739,23 @@ def bench_rooflines():
         lambda: stripe_regression_pallas(frame, cfg.reco_window,
                                          frac_bits=7))
     line("stripe", dt, 9 * px, mode="fast_subpixel_frac7")
+    dt_stripe = dt
     dt = device_time_s(
         lambda: stripe_regression_pallas(frame, cfg.reco_window))
     line("stripe_exact", dt, 9 * px)
+
+    # Measured DMA-pattern floor (VERDICT r4 item 2): the same
+    # halo-block u8 read + 2 f32 writes with the compute deleted. The
+    # pattern itself tops out well below HBM peak, so this — not the
+    # 819 GB/s theoretical — is the kernel's speed-of-light.
+    from slc_tpu.pallas.floors import halo_block_floor
+    dt_fl = device_time_s(
+        lambda: halo_block_floor(frame, halo=cfg.reco_window // 2,
+                                 n_out=2))
+    emit("floor_pct_stripe", round(100.0 * dt_fl / dt_stripe, 1),
+         "%_of_measured_dma_floor", None,
+         floor_ms=round(dt_fl * 1e3, 4),
+         floor_gb_s=round(9 * px / dt_fl / 1e9, 1))
 
     scalars = jnp.stack([
         tables.a.astype(jnp.float32), tables.b.astype(jnp.float32),
@@ -806,6 +820,12 @@ def bench_rooflines():
         (50.0 + rng.normal(0, 0.4, (H2MP, W2MP))).astype(np.float32))
     dt = device_time_s(lambda: bilateral_filter_pallas(zmap))
     line("bilateral", dt, 8 * px)
+    dt_fl = device_time_s(
+        lambda: halo_block_floor(zmap, halo=1, n_out=1))
+    emit("floor_pct_bilateral", round(100.0 * dt_fl / dt, 1),
+         "%_of_measured_dma_floor", None,
+         floor_ms=round(dt_fl * 1e3, 4),
+         floor_gb_s=round(8 * px / dt_fl / 1e9, 1))
 
     from slc_tpu.pallas.grayphase import grayphase_decode_pallas
     n_gp = 2 * cfg.gray_bits + cfg.phase_steps

@@ -123,7 +123,8 @@ def _kernel(scalars, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
     # --- triangulation + back-projection (CCalculation.cpp:666-785) --
     # C/D regenerated from their bilinear coefficients (mathx.
     # lin_coeffs; 8 B/px of HBM streams removed in round 4); the
-    # rational divide is a fast reciprocal + one Newton step (~2^-24).
+    # rational divide is a fast reciprocal + one Newton step
+    # (measured ~2^-22.7 relative, ~1.5 f32 ulp; mathx.newton_recip).
     a = scalars[0, 0]
     b = scalars[0, 1]
     fx = scalars[0, 2]

@@ -130,7 +130,8 @@ def _kernel(scal_ref, img_ref,
     c_blk = cu * ucol + (cv * vrow + c0)
     d_blk = du * ucol + (dv * vrow + d0)
     denom = c_blk - d_blk * pu
-    # Fast reciprocal + one Newton step: ~2^-24 relative, f32-exact
+    # Fast reciprocal + one Newton step: measured ~2^-22.7 relative
+    # (~1.5 f32 ulp; mathx.newton_recip), f32-exact
     # for the [fov_min, fov_max] window, cheaper than the VPU divide.
     z = (b_s * pu - a_s) * newton_recip(denom)
     z = jnp.where((pu == 0) | (z < fov_min) | (z > fov_max), 0.0, z)

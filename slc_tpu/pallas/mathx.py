@@ -23,11 +23,15 @@ _TAN_PI_8 = math.sqrt(2.0) - 1.0   # tan(pi/8): Cephes atanf split point
 
 
 def newton_recip(v):
-    """Fast reciprocal + one Newton step r' = r*(2 - v*r): the raw
-    hardware approximation is only ~8-bit; one refinement squares that
-    to ~2^-16 relative — indistinguishable from the exact divide for
+    """Fast reciprocal + one Newton step r' = r*(2 - v*r).
+
+    MEASURED on TPU v5e (ADVICE r4: the budget must be stated once,
+    consistently): the raw hardware approximation is ~2^-15.9 relative
+    max error; one Newton refinement squares that to ~2^-22.7 — about
+    1.5 f32 ulp, i.e. indistinguishable from the exact divide for
     phase/triangulation math, still far cheaper than the VPU divide.
-    Pallas-only (pl.reciprocal has no eval rule outside kernels)."""
+    All kernel docstrings quote this same budget. Pallas-only
+    (pl.reciprocal has no eval rule outside kernels)."""
     from jax.experimental import pallas as pl
     r = pl.reciprocal(v, approx=True)
     return r * (jnp.float32(2.0) - v * r)
@@ -52,10 +56,10 @@ def atan2(y, x, bounded: bool = False, recip=None):
     for t > tan(pi/8).
 
     ``recip`` (e.g. ``pl.reciprocal(x, approx=True)`` inside Pallas)
-    replaces the single divide with a fast reciprocal: the ~2^-12
-    relative error on the fold ratio bounds the angle error by ~1e-4
-    rad (fringe-decode pixel error ~T*2e-5 — far below photon noise);
-    leave None for the exact divide.
+    replaces the single divide with a fast reciprocal: the measured
+    ~2^-16 relative error on the fold ratio bounds the angle error by
+    ~2e-5 rad (fringe-decode pixel error ~T*3e-6 — far below photon
+    noise); leave None for the exact divide.
 
     Magnitude floor: the ratio clamps its denominator at 1e-30, so when
     both |x| and |y| are below ~1e-30 (f32 subnormal territory) the
@@ -117,8 +121,8 @@ def sincos_turns(t):
     reductions (~0.05 ms for the pair over 2 MP); the phase-lock kernel
     needs both of the SAME angle, and its angles arrive naturally in
     turns (pu / period). Quadrant folding + degree-7/6 minimax
-    polynomials on [-pi/4, pi/4]: |err| < 1e-7 — far below the kernel's
-    documented ~2^-16 reciprocal budget. |t| must be < 2^22 (f32 round
+    polynomials on [-pi/4, pi/4]: |err| < 6e-7 — below the kernels'
+    ~2^-22.7 refined-reciprocal budget's phase impact. |t| must be < 2^22 (f32 round
     loses the fraction beyond that; tracked maps are projector columns,
     |t| < 2^11)."""
     a = t * jnp.float32(4.0)
@@ -316,8 +320,8 @@ def sliding_extrema(vs, window: int, pad_w: int, roll, subpixel: bool,
         # unaffected (q < S sits below the column code). The frac range
         # becomes [-(S/2-1)/S, 0.5] (one quantum asymmetric).
         # ``recip`` (e.g. pl.reciprocal with approx=True inside Pallas)
-        # replaces the slow VPU divide — its ~2^-12 relative error is
-        # far below the quantization step. Truncation after the +0.5
+        # replaces the slow VPU divide — its ~2^-16 measured relative
+        # error is far below the quantization step. Truncation after the +0.5
         # bias = round() for the clamped non-negative argument.
         steps = 1 << fbits
         vm = roll(vs, -1)

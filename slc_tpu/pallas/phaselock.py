@@ -25,7 +25,8 @@ Math parity with ops.demod.stripe_phase_correction: same triangle
 kernel, same per-pixel arccos refinement (acos via atan2(sqrt(1-c^2),
 c) — Mosaic lowers sin/cos/sqrt but not acos), same amp/hole gating;
 atan2 and the divides use the Newton-refined fast reciprocal
-(~2^-16), the documented kernel error budget.
+(measured ~2^-22.7, mathx.newton_recip), the documented kernel error
+budget.
 """
 
 from __future__ import annotations
