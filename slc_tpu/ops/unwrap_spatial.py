@@ -99,16 +99,28 @@ def _diag(wy, wx) -> jax.Array:
 # piecewise-constant aggregation alone has level-dependent convergence
 # (93 outer iterations at 2 MP as a plain V-cycle); Krylov-accelerating
 # the top coarse corrections restores near level-independence for ~2x
-# the per-cycle work. On-chip 2 MP sweep (iters / device ms at
-# tol 1e-4): KD=3 nu=2 -> 17 / 14.6 (chosen); KD=3 nu=1 -> 24 / 16.2;
-# KD=2 nu=2 -> 28 / 22.9; coarsest 16 + 64 sweeps -> 18 / 14.6;
-# KD=4 DIVERGES (outer flexible CG cannot absorb that much
-# preconditioner nonlinearity at nu=2 smoothing) — keep KDEPTH <= 3.
+# the per-cycle work. MG_OVERCORR (round 5) is the classic
+# over-correction for piecewise-constant aggregation: the PWC coarse
+# basis underestimates smooth corrections by ~2x in 2-D, so the plain-V
+# prolongated correction below the K levels is scaled by ~2 (the K
+# levels need no factor — their flexible-CG step computes the optimal
+# scaling). On-chip 2 MP bench-scene sweep (iters / device ms at
+# tol 1e-4): r4 KD=3 oc=1 nu=2 -> 17 / 14.6; KD=2 oc=2.0 -> 12 / 7.6
+# (chosen; also 8 iters on the box-step scene, 7 on a noisy bumpy
+# scene, 0% order error on all); KD=1 oc=2.2 -> 15 / 7.7; KD=3 oc=2.0
+# -> 11 / 9.0 (more K work than the iterations repay); plain V oc=2.0
+# -> 28 / 10.5; plain V oc=1 -> 60+ (stalls); Chebyshev(2-4)-smoothed
+# plain V -> 60+ (smoothing cannot fix the PWC coarse-basis deficit).
+# KD=4 oc=1 DIVERGED in round 4 — keep KDEPTH <= 3. COARSE_SWEEPS
+# 96 -> 32 (round 5): the coarsest Jacobi solve is latency-bound (~10
+# dependent tiny ops per sweep); 32 sweeps leave the 2 MP iteration
+# count unchanged (12) and save ~0.06 ms per cycle.
 MG_NU = 2
 MG_OMEGA = 0.9
-MG_COARSE_SWEEPS = 96
+MG_COARSE_SWEEPS = 32
 MG_COARSEST = 32
-MG_KDEPTH = 3
+MG_KDEPTH = 2
+MG_OVERCORR = 2.0
 
 
 def _tpu_layout() -> bool:
@@ -211,21 +223,41 @@ def vcycle(r: jax.Array, levels: list, nu: int = MG_NU,
     round-4: ~20)."""
     wy, wx, dinv, (h, w) = levels[0]
     om = jnp.float32(omega)
-    e = om * dinv * r                     # first Jacobi sweep from e=0
     if len(levels) == 1:
+        e = om * dinv * r                 # first Jacobi sweep from e=0
         # fori_loop, not unrolled: ~100 unrolled sweep subgraphs made
         # XLA-CPU compile of the enclosing PCG while_loop take minutes.
         def sweep(_, ee):
             return ee + om * dinv * (r - _matvec(ee, wy, wx))
         return jax.lax.fori_loop(0, coarse_sweeps - 1, sweep, e)
-    for _ in range(nu - 1):
-        e = e + om * dinv * (r - _matvec(e, wy, wx))
-    rc = restrict2(r - _matvec(e, wy, wx))
+    # Large TPU levels run through the fused Pallas level kernels
+    # (pallas/mgsmooth.py) — algebraically identical to the XLA ops
+    # below (same source association, no fast reciprocals; residual
+    # difference is compiler FMA contraction ~1 ulp, immaterial after
+    # the congruence snap). Each level's HBM traffic is roughly halved.
+    # Small levels and CPU keep the XLA path (CPU-mesh tiled lockstep
+    # tests therefore see identical arithmetic on both sides).
+    fused = nu == 2 and min(h, w) >= 256 and _tpu_layout()
+    if fused:
+        from slc_tpu.pallas.mgsmooth import mg_down_pallas
+        e, res = mg_down_pallas(r, wy, wx, dinv, omega=omega)
+        rc = restrict2(res)
+    else:
+        e = om * dinv * r                 # first Jacobi sweep from e=0
+        for _ in range(nu - 1):
+            e = e + om * dinv * (r - _matvec(e, wy, wx))
+        rc = restrict2(r - _matvec(e, wy, wx))
     if kdepth > 0 and len(levels) > 2:
+        # K-cycle correction: the flexible-CG step finds the optimal
+        # scaling itself — no over-correction factor.
         ec = _fcg2(rc, levels[1:], nu, omega, coarse_sweeps, kdepth - 1)
+        e = e + prolong2(ec, h, w)
     else:
         ec = vcycle(rc, levels[1:], nu, omega, coarse_sweeps, 0)
-    e = e + prolong2(ec, h, w)
+        e = e + jnp.float32(MG_OVERCORR) * prolong2(ec, h, w)
+    if fused:
+        from slc_tpu.pallas.mgsmooth import mg_up_pallas
+        return mg_up_pallas(e, r, wy, wx, dinv, omega=omega)
     for _ in range(nu):
         e = e + om * dinv * (r - _matvec(e, wy, wx))
     return e
@@ -302,7 +334,7 @@ def suspect_edges(p: jax.Array, psi: jax.Array, period: float,
                                     "mg"))
 def unwrap_spatial(psi: jax.Array, period: float,
                    quality: Optional[jax.Array] = None,
-                   max_iters: int = 300, tol: float = 1e-4,
+                   max_iters: int = 300, tol: float = 3e-4,
                    anchor: Optional[jax.Array] = None,
                    return_info: bool = False,
                    mg: bool = True):
@@ -314,7 +346,13 @@ def unwrap_spatial(psi: jax.Array, period: float,
       quality: (H, W) quality map (e.g. fringe modulation,
         slc_tpu.ops.phase.modulation); None = uniform.
       max_iters: CG iteration cap (static).
-      tol: relative residual-norm stopping threshold.
+      tol: relative residual-norm stopping threshold. The default
+        (3e-4, round 5; was 1e-4) is set by what the OUTPUT needs: the
+        congruence snap only requires the LS solution within T/2 of the
+        true order everywhere, and at 3e-4 the measured per-pixel error
+        on the bench/box-step/noisy scenes is orders of magnitude
+        below that (0 fringe-order errors, 0 suspects — asserted in
+        bench and tests). Pass a tighter tol for the raw LS field.
       anchor: optional (H, W) initial absolute estimate (e.g. the
         previous frame's P, or a coarse heterodyne result); defaults to
         psi itself. The Laplacian's constant nullspace is fixed by

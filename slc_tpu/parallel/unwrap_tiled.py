@@ -24,6 +24,7 @@ from slc_tpu.ops.unwrap_spatial import (wrap_to_half, build_mg_levels,
                                         lane_pair_sum, restrict2, prolong2,
                                         MG_NU, MG_OMEGA, MG_COARSE_SWEEPS,
                                         MG_COARSEST, MG_KDEPTH,
+                                        MG_OVERCORR,
                                         vcycle as _vcycle_single,
                                         _fcg2 as _fcg2_single)
 from slc_tpu.parallel.halo import halo_exchange
@@ -208,10 +209,16 @@ def tiled_unwrap_spatial(psi: jax.Array, period: float, mesh,
                     e = e + OMEGA * dinv_l * (r - mv(e))
                 rc = _restrict_local(r - mv(e))
                 if li < KD and li + 1 < n_total - 1:
+                    # K-corrected level: flexible CG scales optimally.
                     ec = fcg2_t(rc, li + 1)
+                    e = e + _prolong_local(ec, *r.shape)
                 else:
+                    # Plain-V correction: PWC-aggregation
+                    # over-correction, same factor as the single-device
+                    # vcycle (lockstep).
                     ec = vt(rc, li + 1)
-                e = e + _prolong_local(ec, *r.shape)
+                    e = e + jnp.float32(MG_OVERCORR) \
+                        * _prolong_local(ec, *r.shape)
                 for _ in range(NU):
                     e = e + OMEGA * dinv_l * (r - mv(e))
                 return e

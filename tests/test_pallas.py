@@ -399,3 +399,39 @@ def test_mathx_acos(rng):
     got = np.asarray(acos(x))
     np.testing.assert_allclose(got, np.arccos(np.asarray(x, np.float64)),
                                atol=1e-4)
+
+
+def test_mg_level_kernels_exact(rng):
+    """The fused MG level kernels (pallas/mgsmooth.py) reproduce the
+    XLA vcycle ops' source-level association exactly; the only allowed
+    difference is compiler FMA contraction (~1 ulp per fused
+    multiply-add) — asserted at 2e-6 absolute on O(1) data."""
+    from slc_tpu.ops import unwrap_spatial as U
+    from slc_tpu.pallas.mgsmooth import mg_down_pallas, mg_up_pallas
+
+    h, w = 96, 200
+    om = jnp.float32(0.9)
+    q = jnp.asarray(rng.uniform(0.1, 1.0, (h, w)).astype(np.float32))
+    wy, wx = U.edge_weights(q)
+    dinv = 1.0 / U._diag(wy, wx)
+    r = jnp.asarray(rng.normal(0, 1, (h, w)).astype(np.float32))
+
+    # XLA reference: nu=2 descent.
+    e_ref = om * dinv * r
+    e_ref = e_ref + om * dinv * (r - U._matvec(e_ref, wy, wx))
+    res_ref = r - U._matvec(e_ref, wy, wx)
+    e_k, res_k = mg_down_pallas(r, wy, wx, dinv, block_h=32,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(e_k), np.asarray(e_ref),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(res_k), np.asarray(res_ref),
+                               atol=2e-6)
+
+    # XLA reference: nu=2 ascent on a correction-augmented e.
+    e0 = jnp.asarray(rng.normal(0, 1, (h, w)).astype(np.float32))
+    e_ref = e0
+    for _ in range(2):
+        e_ref = e_ref + om * dinv * (r - U._matvec(e_ref, wy, wx))
+    e_k = mg_up_pallas(e0, r, wy, wx, dinv, block_h=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(e_k), np.asarray(e_ref),
+                               atol=2e-6)

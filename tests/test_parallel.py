@@ -207,8 +207,14 @@ def test_tiled_unwrap_hard_scene_matches_single(eight_devices, rng):
     assert int(gi["residue_count"]) == int(ri["residue_count"])
     assert int(gi["anchor_disagreement_count"]) \
         == int(ri["anchor_disagreement_count"])
-    # Lockstep CG: same iteration count.
-    assert int(gi["cg_iters"]) == int(ri["cg_iters"])
+    # Lockstep CG: the cycle schedule and operator are identical, so
+    # iteration counts may differ only where the stopping test's
+    # residual norm crosses tol between the two dot-product
+    # associations (tiled = psum of per-tile partials, single = one
+    # flat sum — a ~1 ulp difference that is the ONLY arithmetic
+    # divergence). Allow exactly that: at most one iteration apart.
+    assert abs(int(gi["cg_iters"]) - int(ri["cg_iters"])) <= 1, \
+        (int(gi["cg_iters"]), int(ri["cg_iters"]))
 
 
 def test_tiled_step_collective_bytes(eight_devices):

@@ -328,7 +328,8 @@ def test_kcycle_cuts_iteration_count(rng):
     out, info = unwrap_spatial(jnp.asarray(psi), t,
                                quality=jnp.asarray(q),
                                anchor=jnp.asarray(anchor),
-                               max_iters=300, return_info=True)
+                               max_iters=300, tol=1e-4,
+                               return_info=True)
     iters_k = int(info["cg_iters"])
     assert float(info["rel_residual"]) <= 1e-4
     # Correctness: interior good-quality pixels land on the truth.
