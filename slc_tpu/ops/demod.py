@@ -88,11 +88,13 @@ def _tri_weight(h: int, w: int, win_v: int, win_u: int) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("period", "win_u", "win_v",
-                                             "amp_floor", "per_pixel"))
+                                             "amp_floor", "per_pixel",
+                                             "max_carrier_gradient"))
 def stripe_phase_correction(frame: jax.Array, proj_u_pred: jax.Array,
                             period: float, win_u: int = 9,
                             win_v: int = 9, amp_floor: float = 8.0,
-                            per_pixel: bool = True
+                            per_pixel: bool = True,
+                            max_carrier_gradient: float = 2e-3
                             ) -> Tuple[jax.Array, jax.Array]:
     """Lock-in demodulation of one dynamic stripe frame against the
     predicted projector map.
@@ -112,6 +114,31 @@ def stripe_phase_correction(frame: jax.Array, proj_u_pred: jax.Array,
         full-contrast carrier demodulates to A/2 = 63.5; pixels below
         the floor (shadow, defocus, window straddling a depth edge)
         get zero correction.
+      max_carrier_gradient: carrier-consistency gate (rad per camera
+        px). A mis-specified lock period T leaves a near-CONSTANT
+        spatial gradient in the demodulated offset delta_phi —
+        g = 2*pi*(dP/du)*(1/T_lock - 1/T_true), ~3 mrad/px per 1% of
+        mismatch on the synthetic rig — where in the LOCKED loop the
+        genuine tracking-error gradient stays at the single-frame
+        motion level (~1 mrad/px at 0.3 z-units/frame, the lock resets
+        drift every frame; static scenes ~0). Free-running drift can
+        accumulate to ~3 mrad/px, which is why the gate keys on the
+        locked loop's own prediction.
+        When the amplitude-gated mean |g| exceeds this threshold the
+        WHOLE correction is zeroed for the frame: the tracker falls
+        back to open-loop integration instead of absorbing a
+        systematically wrong snap (the failure mode measured before
+        this gate: +-2-5% period error drove median z error to ~2
+        scene units within 15 frames, 30x worse than free-running).
+        FAILURE ENVELOPE (threshold 2 mrad/px): mismatches >= ~2%
+        gate off on every tested scene regardless of motion direction
+        (graceful fallback to open-loop); ~1-2% is scene-dependent
+        (the motion-error gradient can partially cancel the mismatch
+        gradient); < ~0.7% passes, contributing bias bounded by
+        thresh*T/(2*pi) (~4e-3 projector px per frame). If the lock
+        period is only known to worse than ~1%, calibrate it first
+        (one absolute decode gives dP/du and the carrier frequency
+        directly). Set 0 or inf to disable.
       per_pixel: additionally refine each pixel with its own absolute
         phase reading: cos(phi) = (I - DC)/A with DC and A taken from
         the smooth windowed estimates, phi = +-arccos resolved (sign
@@ -153,6 +180,15 @@ def stripe_phase_correction(frame: jax.Array, proj_u_pred: jax.Array,
         conf = 1.0 - cos_phi * cos_phi                 # sin^2(phi)
         delta_p = (delta_phi + conf * d_px) * jnp.float32(period / two_pi)
     ok = (amp > amp_floor) & (proj_u_pred > 0)
+    if max_carrier_gradient and math.isfinite(max_carrier_gradient):
+        # Carrier-consistency gate (see docstring): amplitude-gated
+        # mean of the wrapped lane gradient of delta_phi.
+        def wrapg(x):
+            return x - two_pi * jnp.round(x / two_pi)
+        gx = wrapg(delta_phi[:, 1:] - delta_phi[:, :-1])
+        gm = (ok[:, 1:] & ok[:, :-1]).astype(jnp.float32)
+        g = jnp.sum(gx * gm) / jnp.maximum(jnp.sum(gm), 1.0)
+        ok = ok & (jnp.abs(g) <= jnp.float32(max_carrier_gradient))
     return jnp.where(ok, delta_p, 0.0), amp
 
 

@@ -57,9 +57,9 @@ def _kernel(scal_ref, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
             window: int, subpixel: bool, frac_bits: int,
             scale_gradient: bool, robust: bool,
             period: float, win_u: int, win_v: int, amp_floor: float,
-            block_h: int, img_h: int, img_w: int, pad_w: int,
-            fpad: int, spad: int, f_rows: int, s_rows: int,
-            ablate: str):
+            max_carrier_gradient: float, block_h: int, img_h: int,
+            img_w: int, pad_w: int, fpad: int, spad: int, f_rows: int,
+            s_rows: int, ablate: str):
     r = window // 2
     rv = win_v - 1                      # halo per triangle application
     i = pl.program_id(0)
@@ -244,7 +244,21 @@ def _kernel(scal_ref, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
     conf = 1.0 - cospx * cospx
     dpl = (dphi + conf * d_px) * jnp.float32(period / _TWO_PI)
     ok = (amp > jnp.float32(amp_floor)) & (pu_core > 0)
-    pu_fin = pu_core + jnp.where(ok, dpl, 0.0)
+    # Carrier-consistency gate (ops/demod.py max_carrier_gradient
+    # semantics, evaluated PER BLOCK — a mis-specified period's
+    # constant dphi gradient shows identically in every full-width
+    # block): amplitude-gated mean wrapped lane gradient of dphi;
+    # above threshold the whole block's correction is zeroed and the
+    # tracker falls back to open-loop integration.
+    okf = ok.astype(jnp.float32)
+    paircol = ((jax.lax.broadcasted_iota(jnp.int32, (1, pad_w), 1) >= 1)
+               & (jax.lax.broadcasted_iota(jnp.int32, (1, pad_w), 1)
+                  < img_w)).astype(jnp.float32)
+    gm = okf * pltpu.roll(okf, 1, axis=1) * paircol
+    gx = wrap(dphi - pltpu.roll(dphi, 1, axis=1))
+    g = jnp.sum(gx * gm) / jnp.maximum(jnp.sum(gm), 1.0)
+    gate = jnp.abs(g) <= jnp.float32(max_carrier_gradient)
+    pu_fin = pu_core + jnp.where(ok & gate, dpl, 0.0)
 
     # ---- Stage D: triangulation + back-projection -------------------
     a_s = scal_ref[0, 0]
@@ -280,7 +294,8 @@ def _kernel(scal_ref, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
                    static_argnames=("window", "subpixel", "scale_gradient",
                                     "robust", "fov_min", "fov_max",
                                     "period", "win_u", "win_v",
-                                    "amp_floor", "block_h", "frac_bits",
+                                    "amp_floor", "max_carrier_gradient",
+                                    "block_h", "frac_bits",
                                     "interpret", "ablate"))
 def dynamic_step_lock_pallas(frame: jax.Array, prev_sw: jax.Array,
                              prev_sb: jax.Array, prev_pu: jax.Array,
@@ -292,6 +307,7 @@ def dynamic_step_lock_pallas(frame: jax.Array, prev_sw: jax.Array,
                              fov_max: float = 100.0,
                              period: float = 12.0, win_u: int = 21,
                              win_v: int = 9, amp_floor: float = 8.0,
+                             max_carrier_gradient: float = 2e-3,
                              block_h: int = 64, frac_bits: int = 0,
                              interpret: bool = False, ablate: str = ""
                              ) -> Tuple[jax.Array, ...]:
@@ -341,7 +357,9 @@ def dynamic_step_lock_pallas(frame: jax.Array, prev_sw: jax.Array,
         _kernel, window=window, subpixel=subpixel, frac_bits=frac_bits,
         scale_gradient=scale_gradient, robust=robust,
         period=float(period), win_u=win_u, win_v=win_v,
-        amp_floor=float(amp_floor), block_h=block_h, img_h=h, img_w=w,
+        amp_floor=float(amp_floor),
+        max_carrier_gradient=float(max_carrier_gradient),
+        block_h=block_h, img_h=h, img_w=w,
         pad_w=pad_w, fpad=fpad, spad=spad, f_rows=f_rows, s_rows=s_rows,
         ablate=ablate)
 

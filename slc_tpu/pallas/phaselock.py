@@ -70,7 +70,8 @@ def _kernel(scal_ref, frame_hbm, pu_hbm,
             pu_out, z_out, x_out, y_out,
             f_scr, pu_scr, sem, *,
             period: float, win_u: int, win_v: int, amp_floor: float,
-            fov_min: float, fov_max: float, block_h: int, img_h: int,
+            max_carrier_gradient: float, fov_min: float,
+            fov_max: float, block_h: int, img_h: int,
             img_w: int, pad_w: int, ext_rows: int, halo: int):
     i = pl.program_id(0)
     bh = block_h
@@ -165,7 +166,17 @@ def _kernel(scal_ref, frame_hbm, pu_hbm,
     conf = 1.0 - cospx * cospx
     dp = (dphi + conf * d_px) * jnp.float32(period / _TWO_PI)
     ok = (amp > jnp.float32(amp_floor)) & (pu_core > 0)
-    pu_new = pu_core + jnp.where(ok, dp, 0.0)
+    # Per-block carrier-consistency gate (ops/demod.py
+    # max_carrier_gradient semantics; see pallas/dynamic_lock.py).
+    okf = ok.astype(jnp.float32)
+    paircol = ((jax.lax.broadcasted_iota(jnp.int32, (1, pad_w), 1) >= 1)
+               & (jax.lax.broadcasted_iota(jnp.int32, (1, pad_w), 1)
+                  < img_w)).astype(jnp.float32)
+    gm = okf * pltpu.roll(okf, 1, axis=1) * paircol
+    gx = wrap(dphi - pltpu.roll(dphi, 1, axis=1))
+    g = jnp.sum(gx * gm) / jnp.maximum(jnp.sum(gm), 1.0)
+    gate = jnp.abs(g) <= jnp.float32(max_carrier_gradient)
+    pu_new = pu_core + jnp.where(ok & gate, dp, 0.0)
 
     # Triangulation (C/D from bilinear coefficients) + back-projection.
     a_s = scal_ref[0, 0]
@@ -195,12 +206,14 @@ def _kernel(scal_ref, frame_hbm, pu_hbm,
 
 @functools.partial(jax.jit,
                    static_argnames=("period", "win_u", "win_v",
-                                    "amp_floor", "fov_min", "fov_max",
+                                    "amp_floor", "max_carrier_gradient",
+                                    "fov_min", "fov_max",
                                     "block_h", "interpret"))
 def phase_lock_pallas(frame: jax.Array, pu_pred: jax.Array,
                       c: jax.Array, d: jax.Array, scalars: jax.Array,
                       *, period: float, win_u: int = 9, win_v: int = 9,
                       amp_floor: float = 8.0,
+                      max_carrier_gradient: float = 2e-3,
                       fov_min: float = 10.0, fov_max: float = 100.0,
                       block_h: int = 64, interpret: bool = False
                       ) -> Tuple[jax.Array, ...]:
@@ -237,7 +250,9 @@ def phase_lock_pallas(frame: jax.Array, pu_pred: jax.Array,
 
     kernel = functools.partial(
         _kernel, period=float(period), win_u=win_u, win_v=win_v,
-        amp_floor=float(amp_floor), fov_min=fov_min, fov_max=fov_max,
+        amp_floor=float(amp_floor),
+        max_carrier_gradient=float(max_carrier_gradient),
+        fov_min=fov_min, fov_max=fov_max,
         block_h=block_h, img_h=h, img_w=w, pad_w=pad_w,
         ext_rows=ext_rows_f, halo=halo)
 

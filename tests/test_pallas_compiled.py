@@ -257,3 +257,47 @@ def test_compiled_fused_locked_step_matches_xla(rng):
                                   np.asarray(st2.strip_w))
     np.testing.assert_allclose(np.asarray(z_k), np.asarray(res2.z),
                                atol=1e-2)
+
+
+def test_compiled_locked_step_period_mismatch_gates_off(rng):
+    """The fused locked kernel's per-block carrier-consistency gate
+    (pallas/dynamic_lock.py): tracking with a 3% wrong lock period on
+    chip must reduce to the open-loop kernel's result, not corrupt it
+    (same guarantee as the XLA path's global gate,
+    tests/test_demod_adversarial.py)."""
+    import numpy as np
+    from slc_tpu import synth
+    from slc_tpu.calib import synthetic_calibration, build_tables
+    from slc_tpu.config import SystemConfig
+    from slc_tpu.dynamic import init_tracker, dynamic_step
+
+    h, w = 128, 256
+    cfg = SystemConfig(cam_h=h, cam_w=w, pro_h=h, pro_w=640,
+                       gray_bits=5)
+    calib = synthetic_calibration(cam_h=h, cam_w=w, pro_h=h, pro_w=640)
+    tables = build_tables(calib, h, w)
+    frames, z_gt, pu_gt = synth.render_dynamic_sequence(
+        calib, cfg, 8, z0=50.0, dz_per_frame=0.3, stripe_period=12,
+        noise_sigma=1.0)
+
+    def run(lock):
+        st = init_tracker(jnp.asarray(frames[0]),
+                          jnp.asarray(pu_gt[0], jnp.float32),
+                          jnp.asarray(z_gt[0], jnp.float32), cfg)
+        for f in range(1, 8):
+            st, res = dynamic_step(st, jnp.asarray(frames[f]), tables,
+                                   cfg, phase_lock=lock, lock_win_u=21,
+                                   lock_win_v=9, frac_bits=7)
+        return np.asarray(res.z)
+
+    z_bad = run(12.0 * 1.03)
+    z_free = run(None)
+    agree = np.isclose(z_bad, z_free, atol=1e-3).mean()
+    assert agree > 0.95, agree
+    # And the CORRECT period still helps (gate stays open nominally).
+    z_good = run(12.0)
+    r = cfg.reco_window // 2 + 2
+    v = z_good[r:-r, r:-r] > 0
+    e_good = np.median(np.abs((z_good - z_gt[-1])[r:-r, r:-r][v]))
+    e_free = np.median(np.abs((z_free - z_gt[-1])[r:-r, r:-r][v]))
+    assert e_good <= e_free + 0.02, (e_good, e_free)
