@@ -43,8 +43,10 @@ def _kernel(img_hbm, out_ref, scr, sem, *, radius: int, inv2sc: float,
         row = x[r + dy:r + dy + block_h, :]
         for dx in range(-r, r + 1):
             v = pltpu.roll(row, (-dx) % pad_w, axis=1)   # v[j]=row[j+dx]
-            w = jnp.exp((v - core) * (v - core) * jnp.float32(inv2sc)
-                        + jnp.float32((dy * dy + dx * dx) * inv2ss))
+            # exp2 with log2(e) folded into the compile-time
+            # constants: saves exp's internal scale multiply.
+            w = jnp.exp2((v - core) * (v - core) * jnp.float32(inv2sc)
+                         + jnp.float32((dy * dy + dx * dx) * inv2ss))
             w = jnp.where(v != 0.0, w, 0.0)      # hole-aware
             num = num + w * v
             den = den + w
@@ -80,10 +82,11 @@ def bilateral_filter_pallas(img: jax.Array, radius: int = 1,
     bot = (hb - h) + r + (s_rows - block_h - 2 * r)
     f = jnp.pad(img.astype(jnp.float32), ((r, bot), (0, pad_w - w)))
 
+    _LOG2E = 1.4426950408889634          # exp(x) = exp2(x * log2 e)
     kernel = functools.partial(
         _kernel, radius=r,
-        inv2sc=-0.5 / (sigma_color * sigma_color),
-        inv2ss=-0.5 / (sigma_space * sigma_space),
+        inv2sc=-0.5 / (sigma_color * sigma_color) * _LOG2E,
+        inv2ss=-0.5 / (sigma_space * sigma_space) * _LOG2E,
         block_h=block_h, pad_w=pad_w, s_rows=s_rows)
 
     return pl.pallas_call(

@@ -56,7 +56,10 @@ def halo_block_floor(img: jax.Array, halo: int = 10, n_out: int = 2,
             dma(1 - slot, i + 1).start()
 
         dma(slot, i).wait()
-        x = scr[slot][:block_h, :].astype(jnp.float32)
+        x = scr[slot][:block_h, :]
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.int32)     # Mosaic has no direct u8->f32
+        x = x.astype(jnp.float32)
         for k, o in enumerate(out_refs):
             o[:] = x[:, :o.shape[1]] + jnp.float32(k)
 
