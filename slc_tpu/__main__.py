@@ -96,8 +96,15 @@ def _cmd_capture(args, cfg) -> int:
                                          args.stripe_period)
         caps = []
         for f in range(args.frames):
-            rig_f = SimulatedRig(calib, cfg,
-                                 synth.plane_surface(z0 + dz * f),
+            # The dynamic sequence must MOVE THE DECODED SCENE: the
+            # tracker is initialized from the frame-0 absolute map, so
+            # a dynamic geometry unrelated to it (the old always-a-
+            # plane behavior under --scene sphere) made every CLI
+            # sphere dataset internally inconsistent — tracking
+            # started T/2+ away from truth and silently never
+            # recovered (found via the round-5 period diagnostic).
+            surf_f = (lambda dx, dy, _o=dz * f: surface(dx, dy) + _o)
+            rig_f = SimulatedRig(calib, cfg, surf_f,
                                  noise_sigma=args.noise, seed=f + 1)
             caps.extend(capture_sequence(rig_f, [stripe]))
         frames = np.stack(caps)
@@ -224,6 +231,13 @@ def main(argv=None) -> int:
                            "integrated P to the per-frame wrapped "
                            "carrier phase (kills deltaP-integration "
                            "drift)")
+    runp.add_argument("--refine-period", action="store_true",
+                      help="adopt the carrier period measured from the "
+                           "first dynamic frame instead of the "
+                           "configured one (the runner always logs "
+                           "the measurement and warns at > 1% "
+                           "deviation; adopt when the configured "
+                           "period is suspect)")
     runp.add_argument("--out-format", choices=["xyz", "npz"],
                       default="xyz",
                       help="per-frame cloud format: reference-format "
@@ -332,9 +346,16 @@ def main(argv=None) -> int:
         z0, dz = 50.0, 0.08
         stripe_period = 12
         if args.frames:
+            # Move the DECODED scene along +z (see the capture CLI
+            # comment): for --scene plane this reproduces the old
+            # moving plane exactly; for sphere the sphere now moves,
+            # keeping frame 0 consistent with the absolute decode.
             frames, _, _ = synth.render_dynamic_sequence(
                 calib, cfg, args.frames, z0=z0, dz_per_frame=dz,
-                stripe_period=stripe_period, noise_sigma=args.noise)
+                stripe_period=stripe_period, noise_sigma=args.noise,
+                surface_for_frame=(
+                    lambda f: (lambda dx, dy, _o=dz * f:
+                               surface(dx, dy) + _o)))
         write_replay_dataset(args.out, scene.gray_images,
                              scene.phase_images, frames, fringes,
                              config_fields={
@@ -347,15 +368,12 @@ def main(argv=None) -> int:
                                  "stripe_period": stripe_period,
                              })
         if args.anchor_every:
-            if args.scene != "plane":
-                raise SystemExit("--anchor-every requires --scene plane "
-                                 "(anchors are rendered at the moving "
-                                 "plane's per-frame position)")
             from slc_tpu.io.dataset import write_anchor_group
             for f in range(args.anchor_every, args.frames,
                            args.anchor_every):
                 asc = synth.render_static_scene(
-                    calib, cfg, synth.plane_surface(z0 + f * dz),
+                    calib, cfg,
+                    (lambda dx, dy, _o=f * dz: surface(dx, dy) + _o),
                     noise_sigma=args.noise, seed=f + 1)
                 write_anchor_group(args.out, f, asc.gray_images,
                                    asc.phase_images)
@@ -384,6 +402,7 @@ def main(argv=None) -> int:
             mode=args.mode,
             save_depth=args.save_depth, preview=args.preview,
             phase_lock=None if ref else lock,
+            refine_period=args.refine_period,
             out_format=args.out_format, stream=not args.strict_loop,
             frac_bits=7 if args.fast_subpixel and not ref else 0,
             chunk=args.chunk)

@@ -192,6 +192,75 @@ def stripe_phase_correction(frame: jax.Array, proj_u_pred: jax.Array,
     return jnp.where(ok, delta_p, 0.0), amp
 
 
+@functools.partial(jax.jit, static_argnames=("period_nominal", "win_u",
+                                             "win_v", "amp_floor",
+                                             "iters"))
+def estimate_period(frame: jax.Array, proj_u: jax.Array,
+                    period_nominal: float, win_u: int = 9,
+                    win_v: int = 9, amp_floor: float = 8.0,
+                    iters: int = 2) -> jax.Array:
+    """Refine the stripe period from one dynamic frame + an absolute
+    projector map (e.g. the frame-0 decode).
+
+    The closed-loop failure mode the carrier-consistency gate protects
+    against — a lock period mis-specified by >= ~1% — is fully
+    observable in a single frame: demodulating at T_nom against the
+    TRUE map leaves delta_phi with slope m = d(delta_phi)/dP =
+    2*pi*(1/T_true - 1/T_nom), so
+
+        1/T_true = 1/T_nom + m / (2*pi)
+
+    with m estimated by amplitude-gated least squares of the wrapped
+    lane gradient of delta_phi against the lane gradient of P. One
+    refinement round removes the first-order window decorrelation a
+    large mismatch causes (``iters=2`` re-demodulates at the first
+    estimate); valid to ~+-10% initial error (beyond that the carrier
+    rotates > ~1 rad across the lock window and the demodulated
+    amplitude collapses). Accuracy on the synthetic rig: ~0.15-0.25%
+    from up to a 10% wrong start, noise- and size-independent — the
+    residual is the demod's own chirp bias (perspective makes dP/du
+    vary across the image, and the windowed phase estimate is biased
+    by the local chirp), which the locked tracker's per-pixel
+    refinement absorbs: well inside the carrier gate's < 0.7%
+    pass band (tests/test_demod_adversarial.py).
+
+    Returns the refined period as a scalar f32 array. The runner calls
+    this at init when phase lock is enabled (the manifest's
+    stripe_period is treated as nominal), closing the loop the gate's
+    failure envelope documents.
+    """
+    two_pi = 2.0 * math.pi
+    h, w = frame.shape
+    f = frame.astype(jnp.float32)
+    pu = proj_u.astype(jnp.float32)
+    wgt = _tri_weight(h, w, win_v, win_u)
+    dc = _tri_sum(f, win_v, win_u) / wgt
+    iac = f - dc
+    g_pu = pu[:, 1:] - pu[:, :-1]
+
+    def wrap(x):
+        return x - two_pi * jnp.round(x / two_pi)
+
+    def refine(t):
+        phi = (two_pi / t) * pu
+        c = _tri_sum(iac * jnp.cos(phi), win_v, win_u)
+        s = _tri_sum(iac * jnp.sin(phi), win_v, win_u)
+        amp = jnp.sqrt(c * c + s * s) / wgt
+        dphi = jnp.arctan2(-s, c)
+        ok = (amp > amp_floor) & (pu > 0)
+        m_ok = (ok[:, 1:] & ok[:, :-1]).astype(jnp.float32)
+        g_phi = wrap(dphi[:, 1:] - dphi[:, :-1])
+        num = jnp.sum(g_phi * g_pu * m_ok)
+        den = jnp.maximum(jnp.sum(g_pu * g_pu * m_ok), 1e-6)
+        m = num / den
+        return 1.0 / (1.0 / t + m / jnp.float32(two_pi))
+
+    t = jnp.float32(period_nominal)
+    for _ in range(iters):
+        t = refine(t)
+    return t
+
+
 def suggest_lock_window(proj_u0: np.ndarray, period: float,
                         periods_per_window: float = 1.0,
                         max_window: int = 64) -> int:

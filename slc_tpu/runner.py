@@ -56,6 +56,7 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                preview: bool = False,
                phase_lock: "str | float | None" = "auto",
                lock_window: Optional[int] = None,
+               refine_period: bool = False,
                out_format: str = "xyz",
                stream: bool = True,
                frac_bits: int = 0,
@@ -74,6 +75,18 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
     ``stripe_period``; a float forces that period; None disables.
     ``lock_window`` overrides the demod window (default: suggested
     from the frame-0 absolute map).
+
+    When the lock is enabled the runner ALWAYS measures the carrier
+    period from the first dynamic frame against the frame-0 absolute
+    map (``demod.estimate_period``) and logs it; a deviation > 1%
+    from the configured period is warned about (the carrier-
+    consistency gate would zero every correction at >= ~2%).
+    ``refine_period=True`` additionally ADOPTS the estimate — opt-in
+    because the estimator carries the demod's own ~0.2% chirp bias,
+    which on short, slow sequences can cost more static z bias than
+    open-loop drift would; it is the right call whenever the
+    configured period is suspect (estimator accuracy holds from a
+    +-10% wrong nominal).
 
     ``stream`` (default): dynamic frames arrive through the prefetch
     iterator (native C++ thread pool when available) and point clouds
@@ -192,6 +205,36 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                                        lock_period)
     elif lock_window is not None:
         lock_win = int(lock_window)
+
+    if lock_period is not None and ds.frame_count:
+        # Period diagnostic (+ opt-in refinement) from the first
+        # dynamic frame vs the frame-0 absolute map.
+        from slc_tpu.ops.demod import estimate_period
+        try:
+            t_est = float(estimate_period(
+                jnp.asarray(ds.frame(0)), first.proj_u,
+                float(lock_period), win_u=int(lock_win)))
+        except (IOError, OSError, ValueError):
+            t_est = None
+        if t_est is not None:
+            dev = abs(t_est / lock_period - 1.0)
+            log.summaries.append(
+                {"period_diag": True,
+                 "period_nominal": float(lock_period),
+                 "period_estimated": round(t_est, 5),
+                 "period_deviation_pct": round(dev * 100, 3),
+                 "period_adopted": bool(refine_period)})
+            if dev > 0.01:
+                import warnings
+                warnings.warn(
+                    f"configured stripe period {lock_period} deviates "
+                    f"{dev * 100:.1f}% from the measured carrier "
+                    f"({t_est:.4f}); the carrier-consistency gate "
+                    f"will disable the lock at >= ~2% — pass "
+                    f"refine_period=True (CLI --refine-period) to "
+                    f"adopt the measured value", stacklevel=2)
+            if refine_period:
+                lock_period = t_est
 
     if lock_period is not None:
         # The locked step runs the fused phase-lock kernel after the

@@ -9,6 +9,8 @@ sequence (never diverge because of a bad correction), with the
 amplitude/confidence gates (amp_floor, sin^2 confidence) doing the
 protecting. The failure envelope is documented in ops/demod.py."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -146,3 +148,66 @@ def test_lock_extreme_blur_gates_off():
     # the two trackers agree almost everywhere.
     agree = np.isclose(z_lock, z_free, atol=1e-3).mean()
     assert agree > 0.9, agree
+
+
+def test_estimate_period_recovers_from_wrong_nominal():
+    """demod.estimate_period: from a +-5-10% wrong nominal, one frame +
+    the absolute map recover the carrier period to ~0.25% (the
+    estimator's documented chirp-bias floor) — inside the carrier
+    gate's pass band."""
+    from slc_tpu.ops.demod import estimate_period
+    cfg, calib, tables = _rig()
+    frames, z_gt, pu_gt = _render(cfg, calib,
+                                  lambda pu: patterns.stripe_at(pu, T))
+    pu0 = jnp.asarray(pu_gt[0], jnp.float32)
+    fr = jnp.asarray(frames[0])
+    for nominal in (1.05, 0.95, 1.10, 0.90):
+        t = float(estimate_period(fr, pu0, float(T) * nominal,
+                                  win_u=21, win_v=9))
+        assert abs(t - T) / T < 0.005, (nominal, t)
+
+
+def test_runner_period_diagnostic_and_refine(tmp_path):
+    """The runner measures the carrier period at init and logs it; a
+    manifest period off by 5% produces a warning, and refine_period
+    adopts the measured value (metrics period_diag record)."""
+    import json
+    import warnings
+    from slc_tpu.io.dataset import load_manifest, write_manifest
+    from slc_tpu.runner import run_replay
+    from slc_tpu.__main__ import main as cli_main
+
+    root = str(tmp_path / "ds")
+    rc = cli_main(["synth", root, "--frames", "3", "--cam", "96x160",
+                   "--pro", "96x640", "--gray-bits", "5"])
+    assert rc == 0
+    man = load_manifest(root)
+    true_period = float(man["stripe_period"])
+    man["stripe_period"] = true_period * 1.05      # 5% wrong
+    write_manifest(root, man)
+
+    out = str(tmp_path / "out")
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        report = run_replay(root, os.path.join(root, "parameters.yml"),
+                            out, _cfg_for(root), write_clouds=False,
+                            refine_period=True)
+    assert any("deviates" in str(w.message) for w in wlist), \
+        [str(w.message) for w in wlist]
+    diag = [r for r in report.metrics.summaries
+            if r.get("period_diag")]
+    assert len(diag) == 1
+    d = diag[0]
+    assert d["period_adopted"] is True
+    assert d["period_deviation_pct"] > 1.0
+    # The adopted estimate is close to the TRUE period.
+    assert abs(d["period_estimated"] - true_period) / true_period < 0.01
+
+
+def _cfg_for(root):
+    from slc_tpu.io.dataset import load_manifest
+    from slc_tpu.config import SystemConfig
+    m = load_manifest(root)
+    return SystemConfig(cam_h=m["cam_h"], cam_w=m["cam_w"],
+                        pro_h=m["pro_h"], pro_w=m["pro_w"],
+                        gray_bits=m["gray_bits"])

@@ -62,7 +62,10 @@ def test_cli_run_self_configures_from_manifest(tmp_path):
                 "--out", out, "--no-clouds"]) == 0
     recs = [json.loads(l) for l in
             open(os.path.join(out, "metrics.jsonl"))]
-    assert recs and all(r["valid_frac"] > 0.5 for r in recs)
+    # metrics.jsonl carries per-frame records plus run-level summaries
+    # (writer totals, the period diagnostic); frame records have "frame".
+    frames = [r for r in recs if "frame" in r]
+    assert frames and all(r["valid_frac"] > 0.5 for r in frames)
 
 
 def test_cli_run_flag_conflict_fails_clearly(tmp_path):

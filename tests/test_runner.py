@@ -481,3 +481,46 @@ def test_chunked_cli_loop_matches_per_frame(tmp_path):
         za = np.load(os.path.join(tmp_path, "per_frame", f))["z"]
         zb = np.load(os.path.join(tmp_path, "chunked", f))["z"]
         np.testing.assert_allclose(za, zb, atol=1e-5)
+
+
+def test_cli_sphere_dataset_tracks_true_geometry(tmp_path):
+    """Regression (round 5): the synth CLI's default sphere scene used
+    to pair a SPHERE frame-0 decode with MOVING-PLANE dynamic frames —
+    every default CLI dataset was internally inconsistent and the
+    tracker silently followed garbage (high valid_frac, wrong z).
+    Now the decoded scene itself moves: tracked depth on the final
+    frame must match the analytically moved sphere."""
+    import jax.numpy as jnp
+    from slc_tpu import synth
+    from slc_tpu.__main__ import main as cli_main
+    from slc_tpu.io import load_calibration
+    from slc_tpu.io.dataset import load_manifest
+    from slc_tpu.runner import run_replay
+
+    root = str(tmp_path / "ds")
+    n = 4
+    rc = cli_main(["synth", root, "--frames", str(n), "--cam", "96x160",
+                   "--pro", "96x640", "--gray-bits", "5",
+                   "--scene", "sphere"])
+    assert rc == 0
+    m = load_manifest(root)
+    cfg = SystemConfig(cam_h=m["cam_h"], cam_w=m["cam_w"],
+                       pro_h=m["pro_h"], pro_w=m["pro_w"],
+                       gray_bits=m["gray_bits"])
+    out = str(tmp_path / "out")
+    report = run_replay(root, os.path.join(root, "parameters.yml"), out,
+                        cfg, out_format="npz")
+    assert report.frames_done == n - 1
+
+    z = np.load(os.path.join(out, f"cFrame{n - 1}.npz"))["z"]
+    calib = load_calibration(os.path.join(root, "parameters.yml"))
+    dz = 0.08                       # the CLI's per-frame z step
+    z_gt, _ = synth.surface_geometry(
+        calib, cfg,
+        lambda dx, dy: synth.sphere_surface()(dx, dy) + dz * (n - 1))
+    r = cfg.reco_window // 2 + 2
+    zi, gi = z[r:-r, r:-r], z_gt[r:-r, r:-r]
+    v = zi > 0
+    assert v.mean() > 0.9
+    med = float(np.median(np.abs(zi[v] - gi[v])))
+    assert med < 0.1, med
