@@ -301,3 +301,34 @@ def test_compiled_locked_step_period_mismatch_gates_off(rng):
     e_good = np.median(np.abs((z_good - z_gt[-1])[r:-r, r:-r][v]))
     e_free = np.median(np.abs((z_free - z_gt[-1])[r:-r, r:-r][v]))
     assert e_good <= e_free + 0.02, (e_good, e_free)
+
+
+def test_compiled_mg_level_kernels_match_xla(rng):
+    """Compiled fused MG level kernels vs the XLA vcycle ops on chip
+    (source-exact association; only compiler FMA contraction differs)."""
+    from slc_tpu.ops import unwrap_spatial as U
+    from slc_tpu.pallas.mgsmooth import mg_down_pallas, mg_up_pallas
+
+    h, w = 384, 512
+    om = jnp.float32(0.9)
+    q = jnp.asarray(rng.uniform(0.1, 1.0, (h, w)).astype(np.float32))
+    wy, wx = U.edge_weights(q)
+    dinv = 1.0 / U._diag(wy, wx)
+    r = jnp.asarray(rng.normal(0, 1, (h, w)).astype(np.float32))
+
+    e_ref = om * dinv * r
+    e_ref = e_ref + om * dinv * (r - U._matvec(e_ref, wy, wx))
+    res_ref = r - U._matvec(e_ref, wy, wx)
+    e_k, res_k = mg_down_pallas(r, wy, wx, dinv)
+    np.testing.assert_allclose(np.asarray(e_k), np.asarray(e_ref),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(res_k), np.asarray(res_ref),
+                               atol=5e-6)
+
+    e0 = jnp.asarray(rng.normal(0, 1, (h, w)).astype(np.float32))
+    e_ref = e0
+    for _ in range(2):
+        e_ref = e_ref + om * dinv * (r - U._matvec(e_ref, wy, wx))
+    e_k = mg_up_pallas(e0, r, wy, wx, dinv)
+    np.testing.assert_allclose(np.asarray(e_k), np.asarray(e_ref),
+                               atol=5e-6)
