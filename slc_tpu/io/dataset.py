@@ -46,6 +46,23 @@ def write_manifest(root: str, manifest: dict) -> None:
         json.dump(manifest, f, indent=1, sort_keys=True)
 
 
+
+def _bounded_put(q: "queue.Queue", stop_evt: "threading.Event",
+                 item) -> bool:
+    """Bounded-blocking queue put that rechecks the stop event: if the
+    consumer abandons its generator while the queue is full, a bare
+    q.put would strand the producer thread forever (ADVICE r4). Shared
+    by both prefetch generators so the drain semantics cannot drift.
+    Returns False when stopped before the item could be enqueued."""
+    while not stop_evt.is_set():
+        try:
+            q.put(item, timeout=0.1)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 class ReplayDataset:
     """Reader for a reference-layout BMP dataset (CSensorV.cpp:35-41).
 
@@ -250,19 +267,6 @@ class ReplayDataset:
         q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
         stop_evt = threading.Event()
 
-        def put(item):
-            # Bounded-blocking put that rechecks stop_evt: if the
-            # consumer abandons the generator while the queue is full,
-            # a bare q.put would block this worker forever (leaking a
-            # daemon thread per abandoned iteration, ADVICE r4).
-            while not stop_evt.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
         def worker():
             try:
                 for i in range(start, stop):
@@ -272,10 +276,10 @@ class ReplayDataset:
                         item = (i, self.frame(i), None)
                     except (IOError, OSError, ValueError) as e:
                         item = (i, None, str(e))
-                    if not put(item):
+                    if not _bounded_put(q, stop_evt, item):
                         return
             finally:
-                put(None)
+                _bounded_put(q, stop_evt, None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -293,17 +297,6 @@ class ReplayDataset:
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = threading.Event()
 
-        def put(item):
-            # See indexed_frames: recheck stop so an abandoned
-            # generator can't strand this worker in a full-queue put.
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
         def worker():
             try:
                 for i in range(start, self.frame_count):
@@ -317,10 +310,10 @@ class ReplayDataset:
                         # reports both as IOError). Skip, matching the
                         # native path.
                         continue
-                    if not put(item):
+                    if not _bounded_put(q, stop, item):
                         return
             finally:
-                put(None)
+                _bounded_put(q, stop, None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

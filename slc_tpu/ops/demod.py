@@ -53,6 +53,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+#: Row-band height of the carrier-consistency gate — matches the fused
+#: locked kernel's block_h so the XLA and Pallas paths agree on which
+#: bands gate (pallas/dynamic_lock.py runs its gate per grid block).
+GATE_BAND = 64
+
+
 def _box_sum_1d(x: jax.Array, win: int, axis: int) -> jax.Array:
     """Centered ``win``-tap box sum along ``axis``, zero-padded."""
     r = win // 2
@@ -124,10 +130,11 @@ def stripe_phase_correction(frame: jax.Array, proj_u_pred: jax.Array,
         drift every frame; static scenes ~0). Free-running drift can
         accumulate to ~3 mrad/px, which is why the gate keys on the
         locked loop's own prediction.
-        When the amplitude-gated mean |g| exceeds this threshold the
-        WHOLE correction is zeroed for the frame: the tracker falls
-        back to open-loop integration instead of absorbing a
-        systematically wrong snap (the failure mode measured before
+        When a 64-row band's amplitude-gated mean |g| exceeds this
+        threshold that band's correction is zeroed (GATE_BAND matches
+        the fused kernel's block height, so backends agree): the
+        tracker falls back to open-loop integration there instead of
+        absorbing a systematically wrong snap (the failure mode measured before
         this gate: +-2-5% period error drove median z error to ~2
         scene units within 15 frames, 30x worse than free-running).
         FAILURE ENVELOPE (threshold 2 mrad/px): mismatches >= ~2%
@@ -182,13 +189,25 @@ def stripe_phase_correction(frame: jax.Array, proj_u_pred: jax.Array,
     ok = (amp > amp_floor) & (proj_u_pred > 0)
     if max_carrier_gradient and math.isfinite(max_carrier_gradient):
         # Carrier-consistency gate (see docstring): amplitude-gated
-        # mean of the wrapped lane gradient of delta_phi.
+        # mean of the wrapped lane gradient of delta_phi, evaluated
+        # PER GATE_BAND-ROW BAND — the same granularity the fused TPU
+        # kernels use (their gate is per 64-row block), so backends
+        # agree on which bands lock. A mis-specified period's constant
+        # gradient trips every band; a genuinely local gradient (depth
+        # rim, fast local motion) locks out only its own band.
         def wrapg(x):
             return x - two_pi * jnp.round(x / two_pi)
         gx = wrapg(delta_phi[:, 1:] - delta_phi[:, :-1])
         gm = (ok[:, 1:] & ok[:, :-1]).astype(jnp.float32)
-        g = jnp.sum(gx * gm) / jnp.maximum(jnp.sum(gm), 1.0)
-        ok = ok & (jnp.abs(g) <= jnp.float32(max_carrier_gradient))
+        hb = -(-h // GATE_BAND) * GATE_BAND
+        def band_sum(x):
+            xp = jnp.pad(x, ((0, hb - h), (0, 0)))
+            return xp.reshape(hb // GATE_BAND, GATE_BAND,
+                              x.shape[1]).sum((1, 2))
+        g = band_sum(gx * gm) / jnp.maximum(band_sum(gm), 1.0)
+        gate = jnp.abs(g) <= jnp.float32(max_carrier_gradient)
+        gate_rows = jnp.repeat(gate, GATE_BAND)[:h]
+        ok = ok & gate_rows[:, None]
     return jnp.where(ok, delta_p, 0.0), amp
 
 

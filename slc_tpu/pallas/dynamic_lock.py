@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from slc_tpu.pallas.mathx import (acos as _acos, atan2 as _atan2,
+                                  carrier_gate_ok as _carrier_gate_ok,
                                   lin_coeffs, newton_recip as _nrecip,
                                   sincos_turns, sliding_extrema,
                                   sliding_lane_sum, sliding_row_sum)
@@ -244,20 +245,15 @@ def _kernel(scal_ref, frame_hbm, pw_hbm, pb_hbm, pu_hbm,
     conf = 1.0 - cospx * cospx
     dpl = (dphi + conf * d_px) * jnp.float32(period / _TWO_PI)
     ok = (amp > jnp.float32(amp_floor)) & (pu_core > 0)
-    # Carrier-consistency gate (ops/demod.py max_carrier_gradient
-    # semantics, evaluated PER BLOCK — a mis-specified period's
-    # constant dphi gradient shows identically in every full-width
-    # block): amplitude-gated mean wrapped lane gradient of dphi;
-    # above threshold the whole block's correction is zeroed and the
-    # tracker falls back to open-loop integration.
-    okf = ok.astype(jnp.float32)
-    paircol = ((jax.lax.broadcasted_iota(jnp.int32, (1, pad_w), 1) >= 1)
-               & (jax.lax.broadcasted_iota(jnp.int32, (1, pad_w), 1)
-                  < img_w)).astype(jnp.float32)
-    gm = okf * pltpu.roll(okf, 1, axis=1) * paircol
-    gx = wrap(dphi - pltpu.roll(dphi, 1, axis=1))
-    g = jnp.sum(gx * gm) / jnp.maximum(jnp.sum(gm), 1.0)
-    gate = jnp.abs(g) <= jnp.float32(max_carrier_gradient)
+    # Carrier-consistency gate, evaluated per row block — the SAME
+    # band granularity the XLA path now uses (ops/demod.py gates per
+    # 64-row band), so backends agree on which bands lock: a
+    # mis-specified period's constant dphi gradient trips every band;
+    # a genuinely local gradient (depth rim, fast local motion) locks
+    # out only its own band instead of the whole frame.
+    gate = _carrier_gate_ok(dphi, ok, img_w, max_carrier_gradient,
+                            lambda a, k: pltpu.roll(a, k % pad_w,
+                                                    axis=1))
     pu_fin = pu_core + jnp.where(ok & gate, dpl, 0.0)
 
     # ---- Stage D: triangulation + back-projection -------------------

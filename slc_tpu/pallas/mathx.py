@@ -148,6 +148,24 @@ def sincos_turns(t):
     return cosv, sinv
 
 
+def carrier_gate_ok(dphi, ok, img_w: int, thresh: float, roll):
+    """Per-block carrier-consistency gate (the in-kernel form of
+    ops.demod's max_carrier_gradient): amplitude-gated mean wrapped
+    lane gradient of the demodulated offset; True = the block's
+    correction may be applied. One implementation shared by the fused
+    locked kernels so the threshold semantics cannot drift apart."""
+    two_pi = jnp.float32(2.0 * _PI)
+    okf = ok.astype(jnp.float32)
+    pad_w = dphi.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, pad_w), 1)
+    paircol = ((col >= 1) & (col < img_w)).astype(jnp.float32)
+    gm = okf * roll(okf, 1) * paircol
+    gx = dphi - roll(dphi, 1)
+    gx = gx - two_pi * jnp.round(gx / two_pi)
+    g = jnp.sum(gx * gm) / jnp.maximum(jnp.sum(gm), 1.0)
+    return jnp.abs(g) <= jnp.float32(thresh)
+
+
 def sliding_lane_sum(x, win: int, pad_w: int, colmask, roll):
     """Centered lane-axis sliding box sum by power-of-two roll doubling.
 

@@ -1,4 +1,11 @@
-"""Fused Pallas phase-lock kernel.
+"""Fused Pallas phase-lock kernel (LEGACY / comparison baseline).
+
+Round 5 superseded this two-kernel path: `pallas/dynamic_lock.py` runs
+the whole locked frame (tracking + this correction) in ONE kernel and
+is what `dynamic.dynamic_step` dispatches. This kernel is kept as the
+measured comparison point (PERF.md round-4 vs round-5 fusion numbers)
+and parity-tested; new lock features land in dynamic_lock + ops/demod
+first and are mirrored here only through the shared mathx helpers.
 
 The XLA path of phase-locked tracking (slc_tpu.ops.demod applied after
 the fused dynamic step) makes ~13 full-image HBM passes — separable
@@ -166,16 +173,12 @@ def _kernel(scal_ref, frame_hbm, pu_hbm,
     conf = 1.0 - cospx * cospx
     dp = (dphi + conf * d_px) * jnp.float32(period / _TWO_PI)
     ok = (amp > jnp.float32(amp_floor)) & (pu_core > 0)
-    # Per-block carrier-consistency gate (ops/demod.py
-    # max_carrier_gradient semantics; see pallas/dynamic_lock.py).
-    okf = ok.astype(jnp.float32)
-    paircol = ((jax.lax.broadcasted_iota(jnp.int32, (1, pad_w), 1) >= 1)
-               & (jax.lax.broadcasted_iota(jnp.int32, (1, pad_w), 1)
-                  < img_w)).astype(jnp.float32)
-    gm = okf * pltpu.roll(okf, 1, axis=1) * paircol
-    gx = wrap(dphi - pltpu.roll(dphi, 1, axis=1))
-    g = jnp.sum(gx * gm) / jnp.maximum(jnp.sum(gm), 1.0)
-    gate = jnp.abs(g) <= jnp.float32(max_carrier_gradient)
+    # Per-block carrier-consistency gate (shared helper; see
+    # pallas/dynamic_lock.py and ops/demod.py).
+    from slc_tpu.pallas.mathx import carrier_gate_ok
+    gate = carrier_gate_ok(dphi, ok, img_w, max_carrier_gradient,
+                           lambda a, k: pltpu.roll(a, k % pad_w,
+                                                   axis=1))
     pu_new = pu_core + jnp.where(ok & gate, dp, 0.0)
 
     # Triangulation (C/D from bilinear coefficients) + back-projection.

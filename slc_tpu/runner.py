@@ -208,11 +208,18 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
 
     if lock_period is not None and ds.frame_count:
         # Period diagnostic (+ opt-in refinement) from the first
-        # dynamic frame vs the frame-0 absolute map.
+        # dynamic frame vs the frame-0 absolute map. Read through the
+        # BASE dataset (same invariant as the warm-up below): a
+        # FaultInjector draws its RNG per frame() call, so going
+        # through the wrapper would both shift the whole run's
+        # injected-fault sequence and let the diagnostic demodulate an
+        # injected-noise frame — with refine_period that would adopt a
+        # garbage period, the exact failure this diagnostic prevents.
         from slc_tpu.ops.demod import estimate_period
         try:
+            base_ds = getattr(ds, "ds", ds)
             t_est = float(estimate_period(
-                jnp.asarray(ds.frame(0)), first.proj_u,
+                jnp.asarray(base_ds.frame(0)), first.proj_u,
                 float(lock_period), win_u=int(lock_win)))
         except (IOError, OSError, ValueError):
             t_est = None
