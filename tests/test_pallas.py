@@ -435,3 +435,45 @@ def test_mg_level_kernels_exact(rng):
     e_k = mg_up_pallas(e0, r, wy, wx, dinv, block_h=32, interpret=True)
     np.testing.assert_allclose(np.asarray(e_k), np.asarray(e_ref),
                                atol=2e-6)
+
+
+def test_pallas_fused_locked_step_partial_tail_block(rng):
+    """Fused locked kernel with an image height that is NOT a multiple
+    of block_h: the tail block's halo/pad rows must reproduce the XLA
+    composite exactly like interior blocks do (h=90 with block_h=32
+    leaves a 26-row tail)."""
+    from slc_tpu.config import SystemConfig
+    from slc_tpu.calib import synthetic_calibration, build_tables
+    from slc_tpu import synth
+    from slc_tpu.dynamic import init_tracker, dynamic_step
+    from slc_tpu.pallas.dynamic_lock import dynamic_step_lock_pallas
+
+    h, w = 90, 150
+    cfg = SystemConfig(cam_h=h, cam_w=w, pro_h=96, pro_w=640,
+                       gray_bits=5)
+    calib = synthetic_calibration(cam_h=h, cam_w=w, pro_h=96, pro_w=640)
+    tables = build_tables(calib, h, w)
+    frames, z_gt, pu_gt = synth.render_dynamic_sequence(
+        calib, cfg, 2, stripe_period=12, noise_sigma=1.0)
+    st = init_tracker(jnp.asarray(frames[0]),
+                      jnp.asarray(pu_gt[0], jnp.float32),
+                      jnp.asarray(z_gt[0], jnp.float32), cfg,
+                      use_pallas=False)
+    scal = jnp.stack([tables.a, tables.b, tables.fx, tables.fy,
+                      tables.cx, tables.cy, jnp.float32(cfg.fov_min),
+                      jnp.float32(cfg.fov_max)]).reshape(1, 8)
+    pu_k, sw_k, sb_k, z_k, x_k, y_k = dynamic_step_lock_pallas(
+        jnp.asarray(frames[1]), st.strip_w, st.strip_b, st.proj_u,
+        tables.c, tables.d, scal, window=cfg.reco_window,
+        fov_min=cfg.fov_min, fov_max=cfg.fov_max, period=12.0,
+        win_u=21, win_v=9, block_h=32, interpret=True)
+    jax.block_until_ready(pu_k)
+    st2, res2 = dynamic_step(st, jnp.asarray(frames[1]), tables, cfg,
+                             use_pallas=False, phase_lock=12.0,
+                             lock_win_u=21, lock_win_v=9)
+    np.testing.assert_allclose(np.asarray(pu_k),
+                               np.asarray(res2.proj_u), atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(sw_k),
+                                  np.asarray(st2.strip_w))
+    np.testing.assert_allclose(np.asarray(z_k), np.asarray(res2.z),
+                               atol=4e-3)
