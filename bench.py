@@ -208,7 +208,9 @@ def bench_config3():
          None if order_err == 0 else round(0.01 / order_err, 3))
 
     z = jnp.asarray(50.0 + 20.0 * (x / x.max()), jnp.float32)
-    dt_b = _timeit(bilateral_filter, z, n=10)
+    # Device-timed like the solver above: through the tunnel, host wall
+    # clock on a 0.06 ms kernel measures the RPC round trip (~3 ms).
+    dt_b = timeit_solver(lambda: bilateral_filter(z))
     emit("c3_bilateral_ms_2mp", round(dt_b * 1e3, 3), "ms")
 
 
