@@ -103,8 +103,8 @@ def _cmd_capture(args, cfg) -> int:
             # sphere dataset internally inconsistent — tracking
             # started T/2+ away from truth and silently never
             # recovered (found via the round-5 period diagnostic).
-            surf_f = (lambda dx, dy, _o=dz * f: surface(dx, dy) + _o)
-            rig_f = SimulatedRig(calib, cfg, surf_f,
+            rig_f = SimulatedRig(calib, cfg,
+                                 synth.offset_surface(surface, dz * f),
                                  noise_sigma=args.noise, seed=f + 1)
             caps.extend(capture_sequence(rig_f, [stripe]))
         frames = np.stack(caps)
@@ -354,8 +354,7 @@ def main(argv=None) -> int:
                 calib, cfg, args.frames, z0=z0, dz_per_frame=dz,
                 stripe_period=stripe_period, noise_sigma=args.noise,
                 surface_for_frame=(
-                    lambda f: (lambda dx, dy, _o=dz * f:
-                               surface(dx, dy) + _o)))
+                    lambda f: synth.offset_surface(surface, dz * f)))
         write_replay_dataset(args.out, scene.gray_images,
                              scene.phase_images, frames, fringes,
                              config_fields={
@@ -372,8 +371,7 @@ def main(argv=None) -> int:
             for f in range(args.anchor_every, args.frames,
                            args.anchor_every):
                 asc = synth.render_static_scene(
-                    calib, cfg,
-                    (lambda dx, dy, _o=f * dz: surface(dx, dy) + _o),
+                    calib, cfg, synth.offset_surface(surface, f * dz),
                     noise_sigma=args.noise, seed=f + 1)
                 write_anchor_group(args.out, f, asc.gray_images,
                                    asc.phase_images)

@@ -53,9 +53,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-#: Row-band height of the carrier-consistency gate — matches the fused
-#: locked kernel's block_h so the XLA and Pallas paths agree on which
-#: bands gate (pallas/dynamic_lock.py runs its gate per grid block).
+#: Row-band height of the carrier-consistency gate. The fused kernels
+#: gate per grid block and DEFAULT their block_h to this constant
+#: (pallas/dynamic_lock.py, pallas/phaselock.py import it), so the XLA
+#: and Pallas paths agree on which bands gate; a caller overriding
+#: block_h changes the TPU gate granularity accordingly (the nominal
+#: no-gradient case is unaffected — every band passes).
 GATE_BAND = 64
 
 

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from slc_tpu.ops.demod import GATE_BAND
 from slc_tpu.pallas.mathx import (acos as _acos, atan2 as _atan2,
                                   carrier_gate_ok as _carrier_gate_ok,
                                   lin_coeffs, newton_recip as _nrecip,

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from slc_tpu.ops.demod import GATE_BAND
 from slc_tpu.pallas.mathx import (atan2 as _atan2, lin_coeffs,
                                   newton_recip as _newton_recip)
 
@@ -218,7 +219,7 @@ def phase_lock_pallas(frame: jax.Array, pu_pred: jax.Array,
                       amp_floor: float = 8.0,
                       max_carrier_gradient: float = 2e-3,
                       fov_min: float = 10.0, fov_max: float = 100.0,
-                      block_h: int = 64, interpret: bool = False
+                      block_h: int = GATE_BAND, interpret: bool = False
                       ) -> Tuple[jax.Array, ...]:
     """Fused phase-lock correction + re-triangulation.
 

@@ -85,12 +85,14 @@ def _prolong_local(e: jax.Array, h: int, w: int) -> jax.Array:
                                     "return_info", "mg"))
 def tiled_unwrap_spatial(psi: jax.Array, period: float, mesh,
                          quality: Optional[jax.Array] = None,
-                         max_iters: int = 300, tol: float = 1e-4,
+                         max_iters: int = 300, tol: float = 3e-4,
                          anchor: Optional[jax.Array] = None,
                          return_info: bool = False,
                          mg: bool = True):
     """Distributed version of slc_tpu.ops.unwrap_spatial.unwrap_spatial;
-    same operator, same CG, numerically lockstep across tiles — the
+    same operator, same CG, SAME DEFAULT tol (3e-4 — must track
+    unwrap_spatial's default or the two solvers stop at different
+    iterations at defaults), numerically lockstep across tiles — the
     multigrid preconditioner included: V-cycle levels stay tile-sharded
     (per-tile Galerkin aggregation + halo-exchange Jacobi smoothing)
     while tile dims are even and the global grid is above the coarsest

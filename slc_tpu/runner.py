@@ -241,7 +241,21 @@ def run_replay(dataset_root: str, calib: "Calibration | str",
                     f"refine_period=True (CLI --refine-period) to "
                     f"adopt the measured value", stacklevel=2)
             if refine_period:
-                lock_period = t_est
+                # Adopt only inside the estimator's documented
+                # validity envelope (~+-10% from nominal; beyond that
+                # the demodulated amplitude collapses and the slope
+                # regression returns garbage — possibly negative or
+                # non-finite).
+                import math as _math
+                if _math.isfinite(t_est) and dev < 0.1:
+                    lock_period = t_est
+                else:
+                    import warnings
+                    warnings.warn(
+                        f"refine_period: measured period {t_est!r} is "
+                        f"outside the estimator's validity envelope "
+                        f"(>10% from the configured {lock_period}); "
+                        f"keeping the configured value", stacklevel=2)
 
     if lock_period is not None:
         # The locked step runs the fused phase-lock kernel after the

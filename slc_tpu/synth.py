@@ -35,6 +35,16 @@ def plane_surface(z0: float = 50.0, gx: float = 0.0,
     return f
 
 
+def offset_surface(surface: Surface, dz: float) -> Surface:
+    """The surface translated by ``dz`` along +z — how a dynamic
+    sequence moves the DECODED scene (one definition shared by the
+    capture loop, the synth CLI, and anchor rendering, so frame-0 /
+    anchor / dynamic geometry cannot drift apart again — the round-5
+    scene-consistency bug was exactly three hand-rolled copies of this
+    lambda disagreeing about which surface moves)."""
+    return lambda dx, dy: surface(dx, dy) + dz
+
+
 def sphere_surface(center=(0.0, 0.0, 60.0), radius: float = 25.0,
                    background_z: float = 75.0) -> Surface:
     """Sphere over a background plane; rays that miss hit the plane."""
