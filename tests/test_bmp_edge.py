@@ -141,3 +141,23 @@ def test_abandoned_python_iteration_releases_worker(tmp_path):
             break
         time.sleep(0.02)
     assert not alive, f"stranded worker threads: {alive}"
+
+
+def test_read_bmp_fuzz_garbage_never_crashes(tmp_path):
+    """Fuzz: random byte blobs (including BM-prefixed ones) must raise
+    a clean ValueError/IOError from read_bmp — never hang, segfault the
+    native codec, or return garbage silently."""
+    rng = np.random.default_rng(0)
+    for k in range(40):
+        blob = rng.integers(0, 256, rng.integers(0, 2048),
+                            dtype=np.uint8).tobytes()
+        if k % 2:
+            blob = b"BM" + blob          # plausible magic
+        p = _write(tmp_path / f"fuzz{k}.bin", blob)
+        try:
+            out = read_bmp(p)
+        except (ValueError, IOError, OSError, struct.error):
+            continue
+        # The odd blob that parses as a valid header must still return
+        # a sane uint8 image, not out-of-bounds memory.
+        assert out.dtype == np.uint8 and out.ndim == 2
