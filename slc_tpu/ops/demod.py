@@ -40,6 +40,17 @@ error is left to the (bounded, blurred) delta-P estimator.
 
 All ops are elementwise + separable box sums — XLA fuses them into the
 step; no gathers, no data-dependent shapes.
+
+Negative result, round 5 (do not retry): replacing the DC estimate's
+triangle with a single box (it sits outside the feedback loop, so
+stability does not forbid it) was measured to LEAK carrier into the DC
+estimate whenever the local carrier period deviates from the box span
+(the box's null is exact only at one period; the triangle's sinc^2
+suppresses the whole neighborhood). The leakage distorts the
+demodulated-offset gradient statistics enough to break the
+carrier-consistency gate's margins (a 5% period mismatch slipped the
+gate and corrupted tracking to ~2 scene units) and to halve
+estimate_period's accuracy. Both filters stay triangles.
 """
 
 from __future__ import annotations
